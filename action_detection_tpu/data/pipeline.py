@@ -1,0 +1,198 @@
+"""Host input pipeline: frame providers, batch assembly, threaded prefetch.
+
+Replaces the reference's torch DataLoader worker processes
+(/root/reference/ssn_train.py:99-114) with a thread pool + double-buffered
+prefetcher feeding static-shape uint8 batches. Decoding/augmentation stays on
+host (PIL bilinear parity); normalization runs on device inside the jitted
+step (see data/transforms.py).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .ssn_dataset import SSNDataset, TrainSample
+from .transforms import Compose, GroupOverSample, GroupScale, GroupCenterCrop, Stack
+
+
+class DirectoryFrameProvider:
+    """Loads extracted JPEG frames from per-video directories.
+
+    ``image_tmpl``: 'img_{:05d}.jpg' (RGB) or '{}_{:05d}.jpg' (flow, formatted
+    with 'x'/'y' + index), matching the reference's layout (ssn_dataset.py:187-194).
+    """
+
+    def __init__(self, root: str = "", image_tmpl: str = "img_{:05d}.jpg",
+                 modality: str = "RGB"):
+        self.root = root
+        self.image_tmpl = image_tmpl
+        self.modality = modality
+
+    def load(self, video_id: str, idx: int):
+        import os
+
+        from PIL import Image
+
+        directory = os.path.join(self.root, video_id)
+        if self.modality in ("RGB", "RGBDiff"):
+            return [Image.open(os.path.join(
+                directory, self.image_tmpl.format(idx))).convert("RGB")]
+        x_img = Image.open(os.path.join(
+            directory, self.image_tmpl.format("x", idx))).convert("L")
+        y_img = Image.open(os.path.join(
+            directory, self.image_tmpl.format("y", idx))).convert("L")
+        return [x_img, y_img]
+
+
+class SyntheticFrameProvider:
+    """Deterministic pseudo-random frames keyed by (video_id, frame index).
+
+    The fake data source the reference lacks: lets the full pipeline (and the
+    benchmark) run without any frame directory.
+    """
+
+    def __init__(self, width: int = 340, height: int = 256, modality: str = "RGB",
+                 seed: int = 0):
+        self.width = width
+        self.height = height
+        self.modality = modality
+        self.seed = seed
+
+    def load(self, video_id: str, idx: int):
+        from PIL import Image
+
+        key = (hash((self.seed, video_id, int(idx)))) % (2 ** 32)
+        rng = np.random.RandomState(key)
+        if self.modality in ("RGB", "RGBDiff"):
+            arr = rng.randint(0, 256, size=(self.height, self.width, 3), dtype=np.uint8)
+            return [Image.fromarray(arr, "RGB")]
+        x = rng.randint(0, 256, size=(self.height, self.width), dtype=np.uint8)
+        y = rng.randint(0, 256, size=(self.height, self.width), dtype=np.uint8)
+        return [Image.fromarray(x, "L"), Image.fromarray(y, "L")]
+
+
+def load_proposal_frames(provider, video_id: str, frame_indices: Sequence[int],
+                         frame_cnt: int, new_length: int = 1) -> List:
+    """PIL frames for one proposal's segments: for each segment start ``p``,
+    frames ``min(frame_cnt, p + x)`` for x in [0, new_length)."""
+    frames = []
+    for p in frame_indices:
+        for x in range(new_length):
+            frames.extend(provider.load(video_id, min(int(frame_cnt), int(p) + x)))
+    return frames
+
+
+def assemble_train_batch(dataset: SSNDataset, video_indices: Sequence[int],
+                         provider, augmentation: Compose,
+                         rng: np.random.RandomState,
+                         random_shift: bool = True) -> Dict[str, np.ndarray]:
+    """Build one static-shape uint8 training batch.
+
+    Returns dict with:
+      frames     (B*P, S, H, W, C) uint8
+      scaling    (B*P, 2) f32
+      labels     (B*P,) i64
+      reg_targets(B*P, 2) f32
+      prop_type  (B*P,) i64
+    """
+    all_frames, all_scaling, all_labels, all_reg, all_type = [], [], [], [], []
+    S = dataset.body_seg + 2 * dataset.aug_seg
+    L = dataset.new_length
+    for vi in video_indices:
+        sample = dataset.get_training_sample(vi, rng, random_shift=random_shift)
+        for i in range(sample.frame_indices.shape[0]):
+            vid = sample.frame_video_ids[i]
+            frame_cnt = dataset.video_dict[vid].num_frames
+            pil_frames = load_proposal_frames(provider, vid,
+                                              sample.frame_indices[i], frame_cnt, L)
+            aug = augmentation(pil_frames, rng)
+            stacked = Stack()(aug)                      # (H, W, n_img * c)
+            H, W, C_total = stacked.shape
+            # regroup to (S, H, W, C_in): C_in = channels per segment
+            c_in = C_total // S
+            seg = stacked.reshape(H, W, S, c_in).transpose(2, 0, 1, 3)
+            all_frames.append(seg)
+        all_scaling.append(sample.scaling)
+        all_labels.append(sample.labels)
+        all_reg.append(sample.reg_targets)
+        all_type.append(sample.prop_type)
+
+    return {
+        "frames": np.stack(all_frames).astype(np.uint8),
+        "scaling": np.concatenate(all_scaling),
+        "labels": np.concatenate(all_labels),
+        "reg_targets": np.concatenate(all_reg),
+        "prop_type": np.concatenate(all_type),
+    }
+
+
+def make_test_transform(crop_size: int, scale_size: int, test_crops: int) -> Compose:
+    """10-crop oversample or scale+center-crop, as in ssn_test.py:106-117."""
+    if test_crops == 1:
+        return Compose([GroupScale(scale_size), GroupCenterCrop(crop_size)])
+    if test_crops == 10:
+        return Compose([GroupOverSample(crop_size, scale_size)])
+    raise ValueError(f"unsupported number of crops {test_crops}")
+
+
+def iter_test_frame_batches(provider, video_id: str, frame_ticks: np.ndarray,
+                            frame_cnt: int, transform: Compose,
+                            new_length: int = 1, batch_ticks: int = 32,
+                            num_segments_per_stack: Optional[int] = None
+                            ) -> Iterator[np.ndarray]:
+    """Yield uint8 arrays ``(crops * n_ticks, H, W, C_in)`` for dense scoring.
+
+    The stack order is crop-major, tick-minor (the 10-crop transform emits all
+    ticks for crop 0, then crop 0 flipped, ...), matching the reference's
+    ``view(num_crop, -1, dim).mean(0)`` crop averaging (ssn_test.py:84) — the
+    scorer reshapes to ``(crops, n_ticks, ...)`` and means over crops.
+    """
+    n = len(frame_ticks)
+    for lo in range(0, n, batch_ticks):
+        ticks = frame_ticks[lo: lo + batch_ticks]
+        pil_frames = load_proposal_frames(provider, video_id, ticks, frame_cnt,
+                                          new_length)
+        out = transform(pil_frames)
+        stacked = Stack()(out)                          # (H, W, crops * n_img * c)
+        H, W, C_total = stacked.shape
+        # channels per tick-stack: new_length frames x channels each
+        imgs_per_tick = (2 if provider.modality == "Flow" else 1) * new_length
+        c_img = 1 if provider.modality == "Flow" else 3
+        c_in = imgs_per_tick * c_img
+        total_stacks = C_total // c_in
+        seg = stacked.reshape(H, W, total_stacks, c_in).transpose(2, 0, 1, 3)
+        yield seg
+
+
+class PrefetchLoader:
+    """Background-thread batch producer with a bounded queue (double buffering)."""
+
+    def __init__(self, make_batch: Callable[[int], Dict[str, np.ndarray]],
+                 num_batches: int, prefetch: int = 2, num_threads: int = 2):
+        self.make_batch = make_batch
+        self.num_batches = num_batches
+        self.queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self.pool = ThreadPoolExecutor(max_workers=num_threads)
+        self._producer = threading.Thread(target=self._produce, daemon=True)
+        self._started = False
+
+    def _produce(self):
+        futures = [self.pool.submit(self.make_batch, i) for i in range(self.num_batches)]
+        for f in futures:
+            self.queue.put(f.result())
+        self.queue.put(None)
+
+    def __iter__(self):
+        if not self._started:
+            self._producer.start()
+            self._started = True
+        while True:
+            item = self.queue.get()
+            if item is None:
+                return
+            yield item

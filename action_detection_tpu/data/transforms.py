@@ -1,0 +1,272 @@
+"""Group video transforms: shared-randomness augmentation over frame groups.
+
+Behavioral parity target: /root/reference/transforms.py. The pipeline is
+split TPU-first:
+
+* **Host** (this module): decode-adjacent uint8 work that needs PIL's exact
+  bilinear resampling for checkpoint parity — multi-scale cropping, scaling,
+  flipping, 10-crop oversampling — emitting stacked ``uint8`` numpy arrays.
+* **Device** (:func:`normalize_stack`): BGR channel roll, mean/std
+  normalization and dtype conversion run inside the jitted model step, fused
+  by XLA into the first convolution. No float frame ever crosses PCIe.
+
+All random transforms draw from an explicit ``numpy.random.RandomState`` so a
+group (the frames of one proposal) shares one crop/flip decision and runs are
+reproducible.
+"""
+
+from __future__ import annotations
+
+import numbers
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image, ImageOps
+except ImportError:  # pragma: no cover
+    Image = None
+    ImageOps = None
+
+
+class GroupScale:
+    """Rescale so the smaller edge equals ``size`` (PIL bilinear)."""
+
+    def __init__(self, size: int):
+        self.size = size
+
+    def __call__(self, img_group, rng=None):
+        out = []
+        for img in img_group:
+            w, h = img.size
+            if (w <= h and w == self.size) or (h <= w and h == self.size):
+                out.append(img)
+            elif w < h:
+                out.append(img.resize((self.size, int(self.size * h / w)),
+                                      Image.BILINEAR))
+            else:
+                out.append(img.resize((int(self.size * w / h), self.size),
+                                      Image.BILINEAR))
+        return out
+
+
+class GroupCenterCrop:
+    def __init__(self, size: int):
+        self.size = (size, size) if isinstance(size, numbers.Number) else size
+
+    def __call__(self, img_group, rng=None):
+        tw, th = self.size
+        out = []
+        for img in img_group:
+            w, h = img.size
+            x1 = int(round((w - tw) / 2.0))
+            y1 = int(round((h - th) / 2.0))
+            out.append(img.crop((x1, y1, x1 + tw, y1 + th)))
+        return out
+
+
+class GroupRandomCrop:
+    def __init__(self, size: int):
+        self.size = (size, size) if isinstance(size, numbers.Number) else size
+
+    def __call__(self, img_group, rng: np.random.RandomState):
+        w, h = img_group[0].size
+        tw, th = self.size
+        x1 = rng.randint(0, w - tw + 1)
+        y1 = rng.randint(0, h - th + 1)
+        out = []
+        for img in img_group:
+            assert img.size == (w, h)
+            if w == tw and h == th:
+                out.append(img)
+            else:
+                out.append(img.crop((x1, y1, x1 + tw, y1 + th)))
+        return out
+
+
+class GroupRandomHorizontalFlip:
+    """Flip the whole group with p=0.5; invert flow-x images when flipping."""
+
+    def __init__(self, is_flow: bool = False):
+        self.is_flow = is_flow
+
+    def __call__(self, img_group, rng: np.random.RandomState):
+        if rng.rand() >= 0.5:
+            return img_group
+        ret = [img.transpose(Image.FLIP_LEFT_RIGHT) for img in img_group]
+        if self.is_flow:
+            for i in range(0, len(ret), 2):
+                ret[i] = ImageOps.invert(ret[i])
+        return ret
+
+
+class GroupMultiScaleCrop:
+    """Fixed-offset multi-scale cropping (the TSN augmentation).
+
+    Crop sizes come from scaling the smaller edge by one of ``scales`` (with
+    aspect distortion limited to ``max_distort`` scale steps), placed at one
+    of 13 fixed grid offsets, then resized to ``input_size``.
+    """
+
+    def __init__(self, input_size, scales=None, max_distort: int = 1,
+                 fix_crop: bool = True, more_fix_crop: bool = True):
+        self.scales = scales if scales is not None else [1, 0.875, 0.75, 0.66]
+        self.max_distort = max_distort
+        self.fix_crop = fix_crop
+        self.more_fix_crop = more_fix_crop
+        self.input_size = ([input_size, input_size]
+                           if isinstance(input_size, int) else input_size)
+
+    def __call__(self, img_group, rng: np.random.RandomState):
+        im_size = img_group[0].size
+        crop_w, crop_h, off_w, off_h = self.sample_crop(im_size, rng)
+        out = [img.crop((off_w, off_h, off_w + crop_w, off_h + crop_h))
+                  .resize((self.input_size[0], self.input_size[1]), Image.BILINEAR)
+               for img in img_group]
+        return out
+
+    def sample_crop(self, im_size: Tuple[int, int], rng: np.random.RandomState):
+        image_w, image_h = im_size
+        base_size = min(image_w, image_h)
+        crop_sizes = [int(base_size * s) for s in self.scales]
+        crop_h = [self.input_size[1] if abs(x - self.input_size[1]) < 3 else x
+                  for x in crop_sizes]
+        crop_w = [self.input_size[0] if abs(x - self.input_size[0]) < 3 else x
+                  for x in crop_sizes]
+
+        pairs = [(w, h) for i, h in enumerate(crop_h) for j, w in enumerate(crop_w)
+                 if abs(i - j) <= self.max_distort]
+        crop_pair = pairs[rng.randint(len(pairs))]
+        if not self.fix_crop:
+            w_off = rng.randint(0, image_w - crop_pair[0] + 1)
+            h_off = rng.randint(0, image_h - crop_pair[1] + 1)
+        else:
+            offsets = fill_fix_offset(self.more_fix_crop, image_w, image_h,
+                                      crop_pair[0], crop_pair[1])
+            w_off, h_off = offsets[rng.randint(len(offsets))]
+        return crop_pair[0], crop_pair[1], w_off, h_off
+
+
+def fill_fix_offset(more_fix_crop: bool, image_w: int, image_h: int,
+                    crop_w: int, crop_h: int) -> List[Tuple[int, int]]:
+    """The 5 (or 13) fixed crop anchor offsets of the TSN augmentation."""
+    w_step = (image_w - crop_w) // 4
+    h_step = (image_h - crop_h) // 4
+    ret = [(0, 0), (4 * w_step, 0), (0, 4 * h_step), (4 * w_step, 4 * h_step),
+           (2 * w_step, 2 * h_step)]
+    if more_fix_crop:
+        ret += [(0, 2 * h_step), (4 * w_step, 2 * h_step),
+                (2 * w_step, 4 * h_step), (2 * w_step, 0),
+                (1 * w_step, 1 * h_step), (3 * w_step, 1 * h_step),
+                (1 * w_step, 3 * h_step), (3 * w_step, 3 * h_step)]
+    return ret
+
+
+class GroupOverSample:
+    """10-crop test oversampling: 5 fixed crops x {identity, flip}.
+
+    Output group layout matches the reference: for each offset, all frames
+    cropped, then all frames flipped (flow-x inverted on flip).
+    """
+
+    def __init__(self, crop_size, scale_size: Optional[int] = None):
+        self.crop_size = ((crop_size, crop_size) if isinstance(crop_size, int)
+                          else crop_size)
+        self.scale_worker = GroupScale(scale_size) if scale_size else None
+
+    def __call__(self, img_group, rng=None):
+        if self.scale_worker is not None:
+            img_group = self.scale_worker(img_group)
+        image_w, image_h = img_group[0].size
+        crop_w, crop_h = self.crop_size
+        offsets = fill_fix_offset(False, image_w, image_h, crop_w, crop_h)
+
+        oversample_group = []
+        for o_w, o_h in offsets:
+            normal_group, flip_group = [], []
+            for i, img in enumerate(img_group):
+                crop = img.crop((o_w, o_h, o_w + crop_w, o_h + crop_h))
+                normal_group.append(crop)
+                flip_crop = crop.copy().transpose(Image.FLIP_LEFT_RIGHT)
+                if img.mode == "L" and i % 2 == 0:
+                    flip_group.append(ImageOps.invert(flip_crop))
+                else:
+                    flip_group.append(flip_crop)
+            oversample_group.extend(normal_group)
+            oversample_group.extend(flip_group)
+        return oversample_group
+
+
+class Stack:
+    """Stack a PIL group into one ``uint8`` array ``(H, W, C_total)``.
+
+    Gray (flow) images stack 1 channel each; RGB images stack 3. BGR rolling
+    is deliberately NOT done here — it happens on device in
+    :func:`normalize_stack` so the host stays pure uint8 memcpy.
+    """
+
+    def __call__(self, img_group, rng=None):
+        if img_group[0].mode == "L":
+            return np.stack([np.asarray(img, dtype=np.uint8) for img in img_group],
+                            axis=2)
+        return np.concatenate([np.asarray(img, dtype=np.uint8) for img in img_group],
+                              axis=2)
+
+
+class Compose:
+    """Chain group transforms, threading the shared RandomState through."""
+
+    def __init__(self, transforms: Sequence):
+        self.transforms = list(transforms)
+
+    def __call__(self, img_group, rng: Optional[np.random.RandomState] = None):
+        rng = rng or np.random.RandomState()
+        for t in self.transforms:
+            img_group = t(img_group, rng)
+        return img_group
+
+
+def get_train_augmentation(input_size: int, modality: str) -> Compose:
+    """The reference's per-modality training augmentation (ssn_models.py:386-395)."""
+    if modality == "RGB":
+        return Compose([GroupMultiScaleCrop(input_size, [1, 0.875, 0.75, 0.66]),
+                        GroupRandomHorizontalFlip(is_flow=False)])
+    if modality == "Flow":
+        return Compose([GroupMultiScaleCrop(input_size, [1, 0.875, 0.75]),
+                        GroupRandomHorizontalFlip(is_flow=True)])
+    if modality == "RGBDiff":
+        return Compose([GroupMultiScaleCrop(input_size, [1, 0.875, 0.75]),
+                        GroupRandomHorizontalFlip(is_flow=False)])
+    raise ValueError(f"unknown modality {modality}")
+
+
+def normalize_stack(frames, mean, std, bgr: bool = False, div255: bool = False,
+                    channels_per_image: int = 3, dtype=None):
+    """Device-side normalization of stacked uint8 frames (jittable).
+
+    Args:
+      frames: ``(..., H, W, C_total)`` uint8 (or float) stacked frames.
+      mean/std: per-channel statistics, tiled across stacked images.
+      bgr: reverse channel order within each image's channel group (the
+        Caffe-port ``Stack(roll=True)`` of transforms.py:256-268).
+      channels_per_image: 3 for RGB frames, 1 for flow planes.
+
+    Returns float32 (or ``dtype``) normalized frames.
+    """
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    x = frames.astype(dtype)
+    if div255:
+        x = x / 255.0
+    c_total = x.shape[-1]
+    n_img = c_total // channels_per_image
+    if bgr and channels_per_image == 3:
+        x = x.reshape(x.shape[:-1] + (n_img, channels_per_image))
+        x = x[..., ::-1]
+        x = x.reshape(x.shape[:-2] + (c_total,))
+    mean = jnp.asarray(mean, dtype=dtype)
+    std = jnp.asarray(std, dtype=dtype)
+    mean = jnp.tile(mean, c_total // mean.shape[0])
+    std = jnp.tile(std, c_total // std.shape[0])
+    return (x - mean) / std
