@@ -1,0 +1,118 @@
+"""Dense actionness scoring CLI (parity target: /root/reference/binary_test.py).
+
+Scores every ``frame_interval``-th frame with the binary classifier and
+pickles {vid: (frames, crops, 2)} raw score arrays for TAG grouping.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Binary actionness test tool")
+    parser.add_argument("dataset", type=str,
+                        choices=["activitynet1.2", "thumos14"])
+    parser.add_argument("modality", type=str, choices=["RGB", "Flow", "RGBDiff"])
+    parser.add_argument("weights", type=str)
+    parser.add_argument("save_scores", type=str)
+    parser.add_argument("--arch", type=str, default="BNInception")
+    parser.add_argument("--frame_interval", type=int, default=5)
+    parser.add_argument("--test_batchsize", type=int, default=32)
+    parser.add_argument("--max_num", type=int, default=-1)
+    parser.add_argument("--test_crops", type=int, default=10)
+    parser.add_argument("--flow_pref", type=str, default="")
+    parser.add_argument("--data_root", default="", type=str)
+    parser.add_argument("--prop_file_dir", default="data", type=str)
+    parser.add_argument("--synthetic_data", action="store_true")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import os
+
+    import jax
+    import numpy as np
+
+    from ..config import get_actionness_configs
+    from ..data.binary_dataset import BinaryDataset
+    from ..data.pipeline import (DirectoryFrameProvider, SyntheticFrameProvider,
+                                 iter_test_frame_batches, make_test_transform)
+    from ..data.transforms import normalize_stack
+    from ..models import BinaryClassifier
+    from ..models.backbones import get_backbone
+    from ..train import load_checkpoint
+
+    cfg = get_actionness_configs(args.dataset)
+    model = BinaryClassifier(num_class=2, modality=args.modality,
+                             base_model=args.arch, dropout=0.0)
+    _, _, spec = get_backbone(args.arch, args.modality)
+    new_length = 1 if args.modality == "RGB" else 5
+    channels_per_image = 1 if args.modality == "Flow" else 3
+
+    ck = load_checkpoint(args.weights)
+    variables = {"params": ck["params"]}
+    if ck["batch_stats"]:
+        variables["batch_stats"] = ck["batch_stats"]
+
+    test_prop_file = os.path.join(args.prop_file_dir,
+                                  f"{cfg.test_list}_proposal_list.txt")
+    dataset = BinaryDataset(test_prop_file, new_length=new_length,
+                            test_interval=args.frame_interval)
+
+    if args.synthetic_data:
+        provider = SyntheticFrameProvider(modality=args.modality)
+    else:
+        tmpl = ("img_{:05d}.jpg" if args.modality in ("RGB", "RGBDiff")
+                else args.flow_pref + "{}_{:05d}.jpg")
+        provider = DirectoryFrameProvider(args.data_root, tmpl, args.modality)
+
+    transform = make_test_transform(spec.input_size, spec.scale_size,
+                                    args.test_crops)
+
+    @jax.jit
+    def score_chunk(frames_u8):
+        x = normalize_stack(frames_u8, spec.mean, spec.std, bgr=spec.bgr,
+                            div255=spec.div255,
+                            channels_per_image=channels_per_image)
+        return model.apply(variables, x, method=BinaryClassifier.score_frames)
+
+    n = len(dataset.video_list)
+    if args.max_num > 0:
+        n = min(n, args.max_num)
+
+    results = {}
+    t0 = time.time()
+    for idx in range(n):
+        sample = dataset.get_test_sample(idx)
+        T = len(sample.frame_ticks)
+        chunks = []
+        for chunk in iter_test_frame_batches(
+                provider, sample.video_id, sample.frame_ticks,
+                sample.num_frames, transform, new_length=new_length,
+                batch_ticks=args.test_batchsize):
+            n_ticks = chunk.shape[0] // args.test_crops
+            # pad tick axis to the static chunk size (crop-major layout)
+            if n_ticks < args.test_batchsize:
+                c = chunk.reshape(args.test_crops, n_ticks, *chunk.shape[1:])
+                c = np.pad(c, ((0, 0), (0, args.test_batchsize - n_ticks))
+                           + ((0, 0),) * (c.ndim - 2))
+                chunk = c.reshape(-1, *chunk.shape[1:])
+            scores = np.asarray(score_chunk(chunk))
+            # (crops * ticks, 2) -> (ticks, crops, 2)
+            scores = scores.reshape(args.test_crops, args.test_batchsize, 2)
+            chunks.append(scores[:, :n_ticks].transpose(1, 0, 2))
+        results[sample.video_id] = np.concatenate(chunks, axis=0)[:T]
+        print(f"video {idx} {sample.video_id} done "
+              f"({(time.time() - t0) / (idx + 1):.3f} sec/video)", flush=True)
+
+    with open(args.save_scores, "wb") as f:
+        pickle.dump(results, f, pickle.HIGHEST_PROTOCOL)
+    print(f"scores saved to {args.save_scores}")
+
+
+if __name__ == "__main__":
+    main()

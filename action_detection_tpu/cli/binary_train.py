@@ -1,0 +1,157 @@
+"""Binary actionness training CLI (parity target: /root/reference/binary_train.py).
+
+Trains the TAG fg/bg classifier: batches of 4 videos x 12 proposals x 5
+course segments, plain cross-entropy.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    from .opts import build_train_parser
+
+    parser = build_train_parser("Train binary actionness classifier (TPU-native)")
+    parser.set_defaults(batch_size=4)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..config import get_actionness_configs
+    from ..data.binary_dataset import BinaryDataset
+    from ..data.pipeline import (DirectoryFrameProvider, PrefetchLoader,
+                                 SyntheticFrameProvider, load_proposal_frames)
+    from ..data.transforms import Stack, get_train_augmentation, normalize_stack
+    from ..models import BinaryClassifier
+    from ..models.backbones import get_backbone
+    from ..ops.losses import accuracy
+    from ..parallel import make_mesh, replicate, shard_batch
+    from ..train import (checkpoint_name, load_checkpoint, make_optimizer,
+                         save_checkpoint)
+    from ..train.trainer import TrainState
+
+    cfg = get_actionness_configs(args.dataset)
+    model = BinaryClassifier(num_class=2, course_segment=args.num_body_segments,
+                             modality=args.modality, base_model=args.arch,
+                             dropout=args.dropout, bn_mode=args.bn_mode)
+    _, _, spec = get_backbone(args.arch, args.modality)
+    new_length = 1 if args.modality == "RGB" else 5
+    channels_per_image = 1 if args.modality == "Flow" else 3
+
+    train_prop_file = os.path.join(args.prop_file_dir,
+                                   f"{cfg.train_list}_proposal_list.txt")
+    train_ds = BinaryDataset(train_prop_file, body_seg=args.num_body_segments,
+                             new_length=new_length,
+                             epoch_multiplier=args.training_epoch_multiplier,
+                             verbose=True)
+
+    if args.synthetic_data:
+        provider = SyntheticFrameProvider(modality=args.modality)
+    else:
+        tmpl = ("img_{:05d}.jpg" if args.modality in ("RGB", "RGBDiff")
+                else args.flow_prefix + "{}_{:05d}.jpg")
+        provider = DirectoryFrameProvider(args.data_root, tmpl, args.modality)
+
+    augmentation = get_train_augmentation(spec.input_size, args.modality)
+    S = args.num_body_segments
+
+    def assemble(video_indices, rng):
+        frames, labels = [], []
+        for vi in video_indices:
+            s = train_ds.get_training_sample(vi, rng)
+            for i in range(s.frame_indices.shape[0]):
+                vid = s.frame_video_ids[i]
+                fc = train_ds.video_dict[vid].num_frames
+                pil = load_proposal_frames(provider, vid, s.frame_indices[i],
+                                           fc, new_length)
+                stacked = Stack()(augmentation(pil, rng))
+                H, W, C = stacked.shape
+                frames.append(stacked.reshape(H, W, S, C // S).transpose(2, 0, 1, 3))
+            labels.append(s.labels)
+        return {"frames": np.stack(frames).astype(np.uint8),
+                "labels": np.concatenate(labels)}
+
+    def loss_fn(params, batch_stats, batch, rng):
+        x = normalize_stack(batch["frames"], spec.mean, spec.std, bgr=spec.bgr,
+                            div255=spec.div255,
+                            channels_per_image=channels_per_image)
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        logits = model.apply(variables, x, train=True, rngs={"dropout": rng})
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, batch["labels"]).mean()
+        return loss, {"loss": loss, "acc": accuracy(logits, batch["labels"])}
+
+    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    tx = make_optimizer(base_lr=args.lr, lr_steps=args.lr_steps,
+                        steps_per_epoch=steps_per_epoch,
+                        momentum=args.momentum, weight_decay=args.weight_decay,
+                        clip_gradient=args.clip_gradient,
+                        iter_size=args.iter_size)
+
+    rng = np.random.RandomState(args.seed)
+    init_batch = assemble([0], rng)
+    x0 = normalize_stack(jnp.asarray(init_batch["frames"][:1]), spec.mean,
+                         spec.std, bgr=spec.bgr, div255=spec.div255,
+                         channels_per_image=channels_per_image)
+    variables = model.init({"params": jax.random.PRNGKey(args.seed)}, x0,
+                           train=False)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats"),
+                       opt_state=tx.init(variables["params"]))
+
+    @jax.jit
+    def train_step(state, batch, key):
+        key = jax.random.fold_in(key, state.step)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
+
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    key = jax.random.PRNGKey(args.seed)
+    ckpt_file = checkpoint_name(args.snapshot_pref, args.dataset, args.arch,
+                                args.modality, "binary_checkpoint.msgpack")
+
+    order = np.arange(len(train_ds))
+    for epoch in range(args.start_epoch, args.epochs):
+        ep_rng = np.random.RandomState(args.seed * 1000 + epoch)
+        ep_rng.shuffle(order)
+
+        def make_batch(i):
+            idxs = order[(i * args.batch_size) % len(order):][:args.batch_size]
+            if len(idxs) < args.batch_size:
+                idxs = np.concatenate([idxs, order[:args.batch_size - len(idxs)]])
+            return assemble(idxs, np.random.RandomState(ep_rng.randint(2 ** 31) + i))
+
+        loader = PrefetchLoader(make_batch, steps_per_epoch,
+                                num_threads=args.workers)
+        t0 = time.time()
+        for i, batch in enumerate(loader):
+            state, metrics = train_step(state, shard_batch(batch, mesh), key)
+            if i % args.print_freq == 0:
+                print(f"Epoch: [{epoch}][{i}/{steps_per_epoch}] "
+                      f"Time {(time.time() - t0) / (i + 1):.3f} "
+                      f"Loss {float(metrics['loss']):.4f} "
+                      f"Acc {float(metrics['acc']):.2f}", flush=True)
+
+        save_checkpoint(ckpt_file, jax.device_get(state.params),
+                        np.zeros((2, 2)),
+                        batch_stats=jax.device_get(state.batch_stats),
+                        epoch=epoch + 1, arch=args.arch)
+        print(f"checkpoint saved to {ckpt_file}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""SSN proposal-scoring CLI (parity target: /root/reference/ssn_test.py).
+
+Usage: python ssn_test.py <dataset> <modality> <weights> <save_scores> [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="SSN Testing Tool (TPU-native)")
+    parser.add_argument("dataset", type=str, choices=["activitynet1.2", "thumos14"])
+    parser.add_argument("modality", type=str, choices=["RGB", "Flow", "RGBDiff"])
+    parser.add_argument("weights", type=str)
+    parser.add_argument("save_scores", type=str)
+    parser.add_argument("--arch", type=str, default="BNInception")
+    parser.add_argument("--save_raw_scores", type=str, default=None)
+    parser.add_argument("--frame_interval", type=int, default=6)
+    parser.add_argument("--test_batchsize", type=int, default=32,
+                        help="frame ticks per device chunk")
+    parser.add_argument("--no_regression", action="store_true", default=False)
+    parser.add_argument("--max_num", type=int, default=-1)
+    parser.add_argument("--test_crops", type=int, default=10)
+    parser.add_argument("--flow_pref", type=str, default="")
+    parser.add_argument("--data_root", default="", type=str)
+    parser.add_argument("--prop_file_dir", default="data", type=str)
+    parser.add_argument("--synthetic_data", action="store_true")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from ..config import get_configs
+    from ..data.pipeline import DirectoryFrameProvider, SyntheticFrameProvider
+    from ..data.ssn_dataset import SSNDataset
+    from ..infer.scorer import ProposalScorer, dump_scores_pickle, score_videos
+    from ..models import SSN
+    from ..models.backbones import get_backbone
+    from ..train import load_checkpoint
+
+    cfg = get_configs(args.dataset)
+
+    model = SSN(num_class=cfg.num_class, modality=args.modality,
+                base_model=args.arch, dropout=0.0,
+                with_regression=not args.no_regression, stpp_cfg=cfg.stpp)
+    _, _, spec = get_backbone(args.arch, args.modality)
+
+    ck = load_checkpoint(args.weights)
+    params = ck["params"]
+    batch_stats = ck["batch_stats"] or None
+    reg_stats = ck.get("reg_stats")
+
+    test_prop_file = os.path.join(args.prop_file_dir,
+                                  f"{cfg.test_list}_proposal_list.txt")
+    dataset = SSNDataset(test_prop_file, cfg.sampling,
+                         new_length=model.resolved_new_length,
+                         test_interval=args.frame_interval)
+
+    if args.synthetic_data:
+        provider = SyntheticFrameProvider(modality=args.modality)
+    else:
+        tmpl = ("img_{:05d}.jpg" if args.modality in ("RGB", "RGBDiff")
+                else args.flow_pref + "{}_{:05d}.jpg")
+        provider = DirectoryFrameProvider(args.data_root, tmpl, args.modality)
+
+    def scorer_factory(device):
+        return ProposalScorer(model, params, batch_stats, spec,
+                              reg_stats=reg_stats, num_class=cfg.num_class,
+                              stpp_cfg=cfg.stpp, test_crops=args.test_crops,
+                              chunk_frames=args.test_batchsize,
+                              channels_per_image=1 if args.modality == "Flow" else 3,
+                              device=device,
+                              with_regression=not args.no_regression)
+
+    n = len(dataset.video_list)
+    if args.max_num > 0:
+        n = min(n, args.max_num)
+    t0 = time.time()
+    results = score_videos(scorer_factory, dataset, provider,
+                           indices=range(n), devices=jax.devices(),
+                           keep_raw=args.save_raw_scores is not None,
+                           progress=True)
+    dt = time.time() - t0
+    print(f"scored {len(results)} videos in {dt:.1f}s "
+          f"({dt / max(len(results), 1):.3f} sec/video)")
+    dump_scores_pickle(results, args.save_scores, raw_path=args.save_raw_scores)
+    print(f"scores saved to {args.save_scores}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""SSN training CLI (parity target: /root/reference/ssn_train.py).
+
+Usage: python ssn_train.py <dataset> <modality> [flags]
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    from .opts import build_train_parser
+
+    args = build_train_parser(
+        "Train Structured Segment Networks (TPU-native)").parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import get_configs
+    from ..data.pipeline import (DirectoryFrameProvider, PrefetchLoader,
+                                 SyntheticFrameProvider, assemble_train_batch)
+    from ..data.ssn_dataset import SSNDataset
+    from ..data.transforms import get_train_augmentation
+    from ..models import SSN
+    from ..models.backbones import get_backbone
+    from ..parallel import make_mesh, replicate, shard_batch
+    from ..train import (LossWeights, checkpoint_name, create_train_state,
+                         load_checkpoint, make_eval_step, make_optimizer,
+                         make_train_step, save_checkpoint)
+
+    cfg = get_configs(args.dataset)
+    stpp_cfg = cfg.stpp
+    sampling = cfg.sampling
+
+    model = SSN(num_class=cfg.num_class,
+                starting_segment=args.num_aug_segments,
+                course_segment=args.num_body_segments,
+                ending_segment=args.num_aug_segments,
+                modality=args.modality, base_model=args.arch,
+                dropout=args.dropout, stpp_cfg=stpp_cfg, bn_mode=args.bn_mode)
+    _, _, spec = get_backbone(args.arch, args.modality)
+    new_length = model.resolved_new_length
+    channels_per_image = 1 if args.modality == "Flow" else 3
+
+    train_prop_file = os.path.join(args.prop_file_dir,
+                                   f"{cfg.train_list}_proposal_list.txt")
+    val_prop_file = os.path.join(args.prop_file_dir,
+                                 f"{cfg.test_list}_proposal_list.txt")
+    train_ds = SSNDataset(train_prop_file, sampling, new_length=new_length,
+                          body_seg=args.num_body_segments,
+                          aug_seg=args.num_aug_segments,
+                          epoch_multiplier=args.training_epoch_multiplier,
+                          verbose=True)
+    val_ds = SSNDataset(val_prop_file, sampling, new_length=new_length,
+                        body_seg=args.num_body_segments,
+                        aug_seg=args.num_aug_segments,
+                        reg_stats=train_ds.stats, verbose=True)
+
+    if args.synthetic_data:
+        provider = SyntheticFrameProvider(modality=args.modality)
+    else:
+        tmpl = ("img_{:05d}.jpg" if args.modality in ("RGB", "RGBDiff")
+                else args.flow_prefix + "{}_{:05d}.jpg")
+        provider = DirectoryFrameProvider(args.data_root, tmpl, args.modality)
+
+    augmentation = get_train_augmentation(spec.input_size, args.modality)
+
+    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    tx = make_optimizer(base_lr=args.lr, lr_steps=args.lr_steps,
+                        steps_per_epoch=steps_per_epoch,
+                        momentum=args.momentum, weight_decay=args.weight_decay,
+                        clip_gradient=args.clip_gradient,
+                        iter_size=args.iter_size)
+
+    rng = np.random.RandomState(args.seed)
+    init_batch = assemble_train_batch(train_ds, [0], provider, augmentation, rng)
+    state = create_train_state(model, tx, init_batch, spec, seed=args.seed,
+                               channels_per_image=channels_per_image)
+
+    if args.init_weights and os.path.isfile(args.init_weights):
+        ck = load_checkpoint(args.init_weights)
+        state = state.replace(params={**state.params, "backbone": ck["params"].get(
+            "backbone", ck["params"])})
+        print(f"=> loaded init weights from '{args.init_weights}'")
+
+    best_loss = float("inf")
+    start_epoch = args.start_epoch
+    if args.resume and os.path.isfile(args.resume):
+        ck = load_checkpoint(args.resume)
+        state = state.replace(params=ck["params"],
+                              batch_stats=ck["batch_stats"] or None)
+        start_epoch = int(ck["epoch"])
+        best_loss = float(ck["best_loss"])
+        print(f"=> resumed from '{args.resume}' (epoch {start_epoch})")
+
+    weights = LossWeights(comp=args.comp_loss_weight, reg=args.reg_loss_weight)
+    train_step = make_train_step(model, tx, sampling, spec, weights,
+                                 channels_per_image)
+    eval_step = make_eval_step(model, sampling, spec, weights,
+                               channels_per_image)
+
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    dropout_key = jax.random.PRNGKey(args.seed)
+
+    n_videos = len(train_ds)
+    order = np.arange(n_videos)
+
+    def make_batch_fn(epoch_rng, batch_order):
+        def make_batch(i):
+            idxs = batch_order[i * args.batch_size:(i + 1) * args.batch_size]
+            local_rng = np.random.RandomState(epoch_rng.randint(2 ** 31) + i)
+            return assemble_train_batch(train_ds, idxs, provider, augmentation,
+                                        local_rng)
+        return make_batch
+
+    ckpt_file = checkpoint_name(args.snapshot_pref, args.dataset, args.arch,
+                                args.modality)
+
+    def validate():
+        v_rng = np.random.RandomState(12345)
+        n_val = max(len(val_ds) // args.batch_size, 1)
+        losses = []
+        for i in range(n_val):
+            idxs = [(i * args.batch_size + j) % len(val_ds.video_list)
+                    for j in range(args.batch_size)]
+            batch = assemble_train_batch(val_ds, idxs, provider, augmentation,
+                                         v_rng, random_shift=False)
+            metrics = eval_step(state, shard_batch(batch, mesh))
+            losses.append(float(metrics["loss"]))
+            if i % args.print_freq == 0:
+                print(f"Test: [{i}/{n_val}] Loss {losses[-1]:.4f} "
+                      f"Act acc {float(metrics['act_acc']):.2f} "
+                      f"FG {float(metrics['fg_acc']):.2f} "
+                      f"BG {float(metrics['bg_acc']):.2f}", flush=True)
+        avg = float(np.mean(losses))
+        print(f"Testing Results: Loss {avg:.5f}")
+        return avg
+
+    if args.evaluate:
+        validate()
+        return
+
+    for epoch in range(start_epoch, args.epochs):
+        epoch_rng = np.random.RandomState(args.seed * 1000 + epoch)
+        epoch_rng.shuffle(order)
+        batch_order = np.tile(order, 2)[:steps_per_epoch * args.batch_size]
+        loader = PrefetchLoader(make_batch_fn(epoch_rng, batch_order),
+                                steps_per_epoch, num_threads=args.workers)
+        t0 = time.time()
+        for i, batch in enumerate(loader):
+            state, metrics = train_step(state, shard_batch(batch, mesh),
+                                        dropout_key)
+            if i % args.print_freq == 0:
+                dt = time.time() - t0
+                print(f"Epoch: [{epoch}][{i}/{steps_per_epoch}] "
+                      f"Time {dt / (i + 1):.3f} "
+                      f"Loss {float(metrics['loss']):.4f} "
+                      f"Act {float(metrics['act_loss']):.3f} "
+                      f"Comp {float(metrics['comp_loss']):.3f} "
+                      f"Reg {float(metrics.get('reg_loss', 0.0)):.3f} "
+                      f"FG {float(metrics['fg_acc']):.2f} "
+                      f"BG {float(metrics['bg_acc']):.2f}", flush=True)
+
+        if (epoch + 1) % args.eval_freq == 0 or epoch == args.epochs - 1:
+            loss = validate()
+            is_best = loss < best_loss
+            best_loss = min(loss, best_loss)
+            save_checkpoint(ckpt_file, jax.device_get(state.params),
+                            train_ds.stats,
+                            batch_stats=jax.device_get(state.batch_stats),
+                            epoch=epoch + 1, arch=args.arch,
+                            best_loss=best_loss, is_best=is_best)
+            print(f"checkpoint saved to {ckpt_file} (best={is_best})")
+
+
+if __name__ == "__main__":
+    main()

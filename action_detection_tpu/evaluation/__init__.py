@@ -1,0 +1,8 @@
+from .detection import (
+    merge_score_dicts,
+    generate_detections,
+    apply_classwise_nms,
+    perform_regression,
+    evaluate_detections,
+    format_map_table,
+)

@@ -1,0 +1,1 @@
+from .scorer import ProposalScorer, ScoredVideo, score_videos, dump_scores_pickle

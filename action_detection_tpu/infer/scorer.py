@@ -1,0 +1,235 @@
+"""Proposal scorer: the throughput-critical dense-scoring inference path.
+
+Behavioral parity target: /root/reference/ssn_test.py:55-96 + the reorganized
+STPP (ops/ssn_ops.py:82-170). Structure preserved, machinery redesigned:
+
+* The CNN runs once per sampled frame; all proposals are scored by pooling
+  the shared per-frame score matrix (linear-head commutation).
+* One jitted scorer per (chunk-size) bucket: frame chunks are padded to a
+  static shape, so XLA compiles a handful of programs regardless of video
+  length. 10 crops ride the leading batch dim and are mean-reduced on device.
+* Proposal pooling pads the proposal axis to power-of-2 buckets and runs the
+  cumsum-gather STPP entirely on device.
+* Videos are independent — multi-device inference shards the video queue per
+  device (see score_videos), the reference's process-per-GPU pattern without
+  processes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import iter_test_frame_batches, make_test_transform
+from ..data.ssn_dataset import SSNDataset, TestSample
+from ..data.transforms import normalize_stack
+from ..models.backbones import InputSpec
+from ..models.ssn import SSN, fuse_test_heads
+from ..ops.stpp import (ReorganizedScoreLayout, StppConfig,
+                        reorganized_stpp_pool)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pow2_bucket(n: int, lo: int = 32) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclasses.dataclass
+class ScoredVideo:
+    """Per-video inference result (the reference's result-queue tuple)."""
+    video_id: str
+    rel_props: np.ndarray     # (P, 2)
+    act_scores: np.ndarray    # (P, K+1)
+    comp_scores: np.ndarray   # (P, K)
+    reg_scores: Optional[np.ndarray]   # (P, K, 2) denormalized
+    raw_scores: Optional[np.ndarray] = None   # (T, D_out) fused frame scores
+
+    def as_tuple(self):
+        return (self.rel_props, self.act_scores, self.comp_scores,
+                self.reg_scores)
+
+
+class ProposalScorer:
+    """Stateful scorer holding fused weights and jitted per-bucket programs."""
+
+    def __init__(self, model: SSN, params, batch_stats, input_spec: InputSpec,
+                 reg_stats: Optional[np.ndarray] = None,
+                 num_class: Optional[int] = None,
+                 stpp_cfg=(1, 1, 1), test_crops: int = 10,
+                 chunk_frames: int = 32,
+                 channels_per_image: int = 3,
+                 device=None,
+                 with_regression: bool = True):
+        self.model = model
+        self.input_spec = input_spec
+        self.test_crops = test_crops
+        self.chunk_frames = chunk_frames
+        self.channels_per_image = channels_per_image
+        self.reg_stats = np.asarray(reg_stats) if reg_stats is not None else None
+        self.num_class = num_class or model.num_class
+        self.with_regression = with_regression
+        self.device = device or jax.devices()[0]
+
+        kernel, bias = fuse_test_heads(params, self.num_class, stpp_cfg,
+                                       with_regression=with_regression)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        self._variables = jax.device_put(variables, self.device)
+        self._kernel = jax.device_put(kernel, self.device)
+        self._bias = jax.device_put(bias, self.device)
+
+        self.stpp = StppConfig.from_raw(stpp_cfg)
+        K = self.num_class
+        self.layout = ReorganizedScoreLayout(
+            act_len=K + 1, comp_len=K, reg_len=2 * K,
+            feat_multiplier=self.stpp.feat_multiplier,
+            with_regression=with_regression)
+
+        self._score_chunk = jax.jit(self._score_chunk_impl,
+                                    static_argnames=("n_stacks",))
+        self._pool = jax.jit(self._pool_impl, static_argnames=("num_frames",))
+
+    # --- device programs ---
+
+    def _score_chunk_impl(self, frames_u8, n_stacks: int):
+        """(crops*n_stacks_padded, H, W, C) uint8 -> (n_stacks_padded, D) crop-mean."""
+        x = normalize_stack(frames_u8, self.input_spec.mean, self.input_spec.std,
+                            bgr=self.input_spec.bgr,
+                            div255=self.input_spec.div255,
+                            channels_per_image=self.channels_per_image)
+        scores = self.model.apply(self._variables, x, self._kernel, self._bias,
+                                  method=SSN.score_frames)
+        scores = scores.reshape(self.test_crops, n_stacks, -1)
+        return scores.mean(axis=0)
+
+    def _pool_impl(self, frame_scores, prop_ticks, prop_scaling, num_frames: int):
+        act, comp, reg = reorganized_stpp_pool(frame_scores, prop_ticks,
+                                               prop_scaling, self.layout,
+                                               self.stpp, num_frames=num_frames)
+        if reg is not None and self.reg_stats is not None:
+            reg = reg.reshape(-1, self.num_class, 2)
+            stats = jnp.asarray(self.reg_stats, jnp.float32)
+            reg = reg * stats[1] + stats[0]
+        return act, comp, reg
+
+    # --- host orchestration ---
+
+    def score_video(self, sample: TestSample, provider,
+                    keep_raw: bool = False) -> ScoredVideo:
+        """Score every sampled frame, pool per proposal, denormalize regression."""
+        transform = make_test_transform(self.input_spec.input_size,
+                                        self.input_spec.scale_size,
+                                        self.test_crops)
+        T = len(sample.frame_ticks)
+        T_padded = _round_up(max(T, 1), self.chunk_frames)
+        out_chunks = []
+        filled = 0
+        for chunk in iter_test_frame_batches(
+                provider, sample.video_id, sample.frame_ticks, sample.num_frames,
+                transform, new_length=self.model.resolved_new_length,
+                batch_ticks=self.chunk_frames):
+            n_stacks_real = chunk.shape[0] // self.test_crops
+            if n_stacks_real < self.chunk_frames:
+                # pad the tick axis (crop-major layout: pad per crop block)
+                c = chunk.reshape(self.test_crops, n_stacks_real, *chunk.shape[1:])
+                pad = self.chunk_frames - n_stacks_real
+                c = np.pad(c, ((0, 0), (0, pad)) + ((0, 0),) * (c.ndim - 2))
+                chunk = c.reshape(self.test_crops * self.chunk_frames,
+                                  *chunk.shape[1:])
+            scores = self._score_chunk(jax.device_put(chunk, self.device),
+                                       n_stacks=self.chunk_frames)
+            out_chunks.append(scores)
+            filled += n_stacks_real
+        assert filled == T, (filled, T)
+
+        frame_scores = jnp.concatenate(out_chunks, axis=0)
+        if frame_scores.shape[0] < T_padded:
+            frame_scores = jnp.pad(frame_scores,
+                                   ((0, T_padded - frame_scores.shape[0]), (0, 0)))
+
+        P = sample.prop_ticks.shape[0]
+        P_padded = _pow2_bucket(P)
+        ticks = np.zeros((P_padded, 4), dtype=np.int64)
+        ticks[:P] = sample.prop_ticks
+        scal = np.zeros((P_padded, 2), dtype=np.float32)
+        scal[:P] = sample.prop_scaling
+
+        act, comp, reg = self._pool(frame_scores,
+                                    jax.device_put(ticks, self.device),
+                                    jax.device_put(scal, self.device),
+                                    num_frames=T)
+        act = np.asarray(act)[:P]
+        comp = np.asarray(comp)[:P]
+        reg_out = np.asarray(reg)[:P] if reg is not None else None
+        return ScoredVideo(video_id=sample.video_id,
+                           rel_props=sample.rel_props,
+                           act_scores=act, comp_scores=comp, reg_scores=reg_out,
+                           raw_scores=np.asarray(frame_scores)[:T] if keep_raw else None)
+
+
+def score_videos(scorer_factory, dataset: SSNDataset, provider,
+                 indices: Optional[Iterable[int]] = None,
+                 devices=None, keep_raw: bool = False,
+                 progress: bool = False) -> Dict[str, ScoredVideo]:
+    """Fan videos out over local devices (independent work, no collectives).
+
+    ``scorer_factory(device)`` builds a ProposalScorer pinned to a device.
+    """
+    import threading
+    from queue import Queue
+
+    devices = devices or jax.devices()
+    indices = list(indices if indices is not None else range(len(dataset.video_list)))
+    work: "Queue" = Queue()
+    for i in indices:
+        work.put(i)
+    results: Dict[str, ScoredVideo] = {}
+    lock = threading.Lock()
+
+    def worker(device):
+        scorer = scorer_factory(device)
+        while True:
+            try:
+                idx = work.get_nowait()
+            except Exception:
+                return
+            sample = dataset.get_test_sample(idx)
+            out = scorer.score_video(sample, provider, keep_raw=keep_raw)
+            with lock:
+                results[out.video_id] = out
+                if progress:
+                    print(f"scored {out.video_id} "
+                          f"({len(results)}/{len(indices)})", flush=True)
+
+    threads = [threading.Thread(target=worker, args=(d,)) for d in devices]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return results
+
+
+def dump_scores_pickle(results: Dict[str, ScoredVideo], path: str,
+                       raw_path: Optional[str] = None) -> None:
+    """Reference-compatible pickle: {vid: (rel_props, act, comp, reg)}."""
+    import pickle
+
+    out = {vid: r.as_tuple() for vid, r in results.items()}
+    with open(path, "wb") as f:
+        pickle.dump(out, f, pickle.HIGHEST_PROTOCOL)
+    if raw_path:
+        raw = {vid: r.raw_scores for vid, r in results.items()}
+        with open(raw_path, "wb") as f:
+            pickle.dump(raw, f, pickle.HIGHEST_PROTOCOL)

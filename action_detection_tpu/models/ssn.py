@@ -48,6 +48,12 @@ class SSN(nn.Module):
         return self.starting_segment + self.course_segment + self.ending_segment
 
     @property
+    def resolved_new_length(self) -> int:
+        if self.new_length is None:
+            return 1 if self.modality == "RGB" else 5
+        return self.new_length
+
+    @property
     def seg_split(self) -> Tuple[int, int, int]:
         return (self.starting_segment,
                 self.starting_segment + self.course_segment,

@@ -1,0 +1,92 @@
+"""End-to-end CLI smoke test: ssn_train -> ssn_test -> eval_detection_results
+on synthetic frames with the TinyConv backbone (the full minimum slice of
+SURVEY.md §7 build order, runnable anywhere)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from tests.test_datasets import write_proposal_list
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    write_proposal_list(d / "thumos14_tag_val_proposal_list.txt", n_videos=3)
+    write_proposal_list(d / "thumos14_tag_test_proposal_list.txt", n_videos=2,
+                        seed=7)
+    return d
+
+
+def test_train_test_eval_pipeline(workdir, monkeypatch):
+    monkeypatch.chdir(workdir)
+
+    from action_detection_tpu.cli.ssn_train import main as train_main
+    from action_detection_tpu.cli.ssn_test import main as test_main
+    from action_detection_tpu.cli.eval_detection_results import main as eval_main
+
+    # 1. train one tiny epoch
+    train_main(["thumos14", "RGB", "--arch", "TinyConv", "--synthetic_data",
+                "-b", "2", "--epochs", "1", "--tem", "1", "-j", "1",
+                "--prop_file_dir", str(workdir), "--lr", "0.001",
+                "--print-freq", "1", "--dropout", "0.0"])
+    ckpt = "ssn_thumos14_TinyConv_rgb_checkpoint.msgpack"
+    assert os.path.exists(ckpt)
+
+    # 2. score the test set
+    test_main(["thumos14", "RGB", ckpt, "scores.pkl", "--arch", "TinyConv",
+               "--synthetic_data", "--prop_file_dir", str(workdir),
+               "--frame_interval", "30", "--test_batchsize", "8",
+               "--save_raw_scores", "raw.pkl"])
+    with open("scores.pkl", "rb") as f:
+        scores = pickle.load(f)
+    assert len(scores) == 2
+    for vid, tp in scores.items():
+        rel, act, comp, reg = tp
+        assert act.shape[1] == 21 and comp.shape[1] == 20
+        assert reg.shape[1:] == (20, 2)
+        assert np.isfinite(act).all()
+
+    # 3. evaluate to a mAP table
+    ap = eval_main(["thumos14", "scores.pkl", "--prop_file_dir", str(workdir),
+                    "-j", "2"])
+    assert ap.shape == (20, 9)
+    assert np.isfinite(ap).all()
+
+    # two-stream fusion path: evaluate the same pickle twice with weights
+    ap2 = eval_main(["thumos14", "scores.pkl", "scores.pkl",
+                     "--prop_file_dir", str(workdir), "-j", "2",
+                     "--score_weights", "1", "2"])
+    np.testing.assert_allclose(ap2, ap, atol=1e-6)
+
+
+def test_binary_train_and_test_and_tag(workdir, monkeypatch):
+    monkeypatch.chdir(workdir)
+    # actionness config points at sw lists; reuse the tag fixtures
+    import shutil
+
+    shutil.copy("thumos14_tag_val_proposal_list.txt",
+                "thumos14_sw_val_proposal_list.txt")
+    shutil.copy("thumos14_tag_test_proposal_list.txt",
+                "thumos14_sw_test_proposal_list.txt")
+
+    from action_detection_tpu.cli.binary_train import main as btrain
+    from action_detection_tpu.cli.binary_test import main as btest
+
+    btrain(["thumos14", "RGB", "--arch", "TinyConv", "--synthetic_data",
+            "--epochs", "1", "--tem", "1", "-j", "1", "-b", "2",
+            "--prop_file_dir", str(workdir), "--print-freq", "1",
+            "--dropout", "0.0"])
+    ckpt = "ssn_thumos14_TinyConv_rgb_binary_checkpoint.msgpack"
+    assert os.path.exists(ckpt)
+
+    btest(["thumos14", "RGB", ckpt, "binary_scores.pkl", "--arch", "TinyConv",
+           "--synthetic_data", "--prop_file_dir", str(workdir),
+           "--frame_interval", "30", "--test_batchsize", "8"])
+    with open("binary_scores.pkl", "rb") as f:
+        bscores = pickle.load(f)
+    for vid, arr in bscores.items():
+        assert arr.ndim == 3 and arr.shape[1:] == (10, 2)
+        assert np.isfinite(arr).all()

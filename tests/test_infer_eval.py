@@ -1,0 +1,162 @@
+"""Inference scorer + detection evaluation tests (synthetic end-to-end)."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from action_detection_tpu.config import SamplingConfig
+from action_detection_tpu.data.pipeline import SyntheticFrameProvider
+from action_detection_tpu.data.ssn_dataset import SSNDataset
+from action_detection_tpu.evaluation import (
+    merge_score_dicts, generate_detections, apply_classwise_nms,
+    perform_regression, evaluate_detections, format_map_table,
+)
+from action_detection_tpu.evaluation.detection import apply_regression
+from action_detection_tpu.infer.scorer import (
+    ProposalScorer, score_videos, dump_scores_pickle,
+)
+from action_detection_tpu.models import SSN
+from action_detection_tpu.models.backbones import get_backbone
+from tests.test_datasets import write_proposal_list
+
+K = 3
+
+
+@pytest.fixture(scope="module")
+def scorer_setup(tmp_path_factory):
+    prop_file = write_proposal_list(tmp_path_factory.mktemp("d") / "p.txt")
+    ds = SSNDataset(prop_file, SamplingConfig(), test_interval=25)
+    provider = SyntheticFrameProvider(width=48, height=40)
+    model = SSN(num_class=K, base_model="TinyConv", dropout=0.8)
+    _, _, spec = get_backbone("TinyConv", "RGB")
+    frames = jnp.zeros((1, 9, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, frames,
+                           jnp.ones((1, 2)), train=False)
+    reg_stats = np.array([[0.05, -0.1], [0.2, 0.4]])
+    return ds, provider, model, spec, variables, reg_stats
+
+
+def make_scorer(setup, device=None, crops=10, keep=False):
+    ds, provider, model, spec, variables, reg_stats = setup
+    return ProposalScorer(model, variables["params"],
+                          variables.get("batch_stats"), spec,
+                          reg_stats=reg_stats, test_crops=crops,
+                          chunk_frames=8, device=device)
+
+
+def test_score_video_shapes_and_padding_invariance(scorer_setup):
+    ds, provider, model, spec, variables, reg_stats = scorer_setup
+    scorer = make_scorer(scorer_setup)
+    sample = ds.get_test_sample(0)
+    out = scorer.score_video(sample, provider, keep_raw=True)
+    P = sample.prop_ticks.shape[0]
+    T = len(sample.frame_ticks)
+    assert out.act_scores.shape == (P, K + 1)
+    assert out.comp_scores.shape == (P, K)
+    assert out.reg_scores.shape == (P, K, 2)
+    assert out.raw_scores.shape == (T, scorer.layout.total_cols)
+    assert np.isfinite(out.act_scores).all()
+
+    # changing the chunk size (different padding) must not change results
+    scorer2 = ProposalScorer(model, variables["params"],
+                             variables.get("batch_stats"), spec,
+                             reg_stats=reg_stats, test_crops=10,
+                             chunk_frames=5)
+    out2 = scorer2.score_video(sample, provider)
+    np.testing.assert_allclose(out.act_scores, out2.act_scores, atol=1e-4)
+    np.testing.assert_allclose(out.reg_scores, out2.reg_scores, atol=1e-4)
+
+
+def test_score_video_matches_oracle_pooling(scorer_setup):
+    """Device pooling of frame scores == numpy oracle on the raw score dump."""
+    from tests.test_stpp import oracle_reorg_pool
+
+    ds, provider, model, spec, variables, reg_stats = scorer_setup
+    scorer = make_scorer(scorer_setup)
+    sample = ds.get_test_sample(1)
+    out = scorer.score_video(sample, provider, keep_raw=True)
+
+    o_act, o_comp, o_reg = oracle_reorg_pool(
+        out.raw_scores.astype(np.float64), np.asarray(sample.prop_ticks),
+        np.asarray(sample.prop_scaling, np.float64), scorer.layout,
+        scorer.stpp.stage_parts)
+    np.testing.assert_allclose(out.act_scores, o_act, atol=1e-3)
+    np.testing.assert_allclose(out.comp_scores, o_comp, atol=1e-3)
+    o_reg = o_reg.reshape(-1, K, 2) * reg_stats[1] + reg_stats[0]
+    np.testing.assert_allclose(out.reg_scores, o_reg, atol=1e-3)
+
+
+def test_score_videos_multidevice_and_pickle(tmp_path, scorer_setup):
+    ds, provider, model, spec, variables, reg_stats = scorer_setup
+    results = score_videos(lambda dev: make_scorer(scorer_setup, device=dev),
+                           ds, provider, devices=jax.devices()[:4])
+    assert len(results) == len(ds.video_list)
+    path = str(tmp_path / "scores.pkl")
+    dump_scores_pickle(results, path)
+    with open(path, "rb") as f:
+        loaded = pickle.load(f)
+    vid = ds.video_list[0].id
+    assert vid in loaded and len(loaded[vid]) == 4
+
+
+def test_eval_pipeline_perfect_detections(scorer_setup):
+    """Synthetic scores where the GT proposal dominates => mAP 1.0."""
+    ds = scorer_setup[0]
+    scores = {}
+    for video in ds.video_list:
+        props = video.proposals
+        rel = np.array([[p.start_frame / video.num_frames,
+                         p.end_frame / video.num_frames] for p in props])
+        act = np.full((len(props), K + 1), -5.0)
+        comp = np.full((len(props), K), -5.0)
+        for i, p in enumerate(props):
+            if p.best_iou is not None and p.best_iou > 0.7:
+                act[i, p.label] = 10.0
+                comp[i, p.label - 1] = 3.0
+            else:
+                act[i, 0] = 10.0
+        scores[video.id] = (rel, act, comp, None)
+
+    dets = generate_detections(scores, K, top_k=0)
+    dets = apply_classwise_nms(dets, 0.2)
+    ap = evaluate_detections(dets, ds.get_all_gt(), K, [0.1, 0.3])
+    # every GT is matched by a high-scoring overlapping proposal
+    present = [c for c in range(K) if len(dets[c])]
+    assert np.all(ap[present, 0] > 0.99), ap
+    table = format_map_table([0.1, 0.3], ap)
+    assert "mean AP" in table and "Average" in table
+
+
+def test_merge_and_regression():
+    rel = np.array([[0.2, 0.4]])
+    act = np.array([[0.0, 1.0]])
+    comp = np.array([[0.5]])
+    reg = np.array([[[0.5, np.log(2.0)]]])
+    s1 = {"v": (rel, act, comp, reg)}
+    s2 = {"v": (rel, act * 3, comp * 3, reg * 3)}
+    merged = merge_score_dicts([s1, s2], weights=[1.0, 1.0])
+    np.testing.assert_allclose(merged["v"][1], act * 2)
+
+    # regression moves center by duration*loc and scales duration by exp(dur)
+    det = np.array([[0.2, 0.4, 0.9, 0.5, np.log(2.0)]])
+    out = perform_regression(det)
+    np.testing.assert_allclose(out[0, :2], [0.2, 0.6], atol=1e-6)
+
+    dets_by_cls = [{"v": det}]
+    out2 = apply_regression(dets_by_cls)
+    np.testing.assert_allclose(out2[0]["v"], out)
+
+
+def test_generate_detections_topk_mode():
+    rng = np.random.RandomState(0)
+    rel = np.sort(rng.rand(10, 2), axis=1)
+    act = rng.randn(10, K + 1)
+    comp = rng.randn(10, K)
+    scores = {"v": (rel, act, comp, None)}
+    dets = generate_detections(scores, K, top_k=5)
+    total = sum(len(d.get("v", [])) for d in dets)
+    assert total == 5
