@@ -157,3 +157,19 @@ def test_train_test_commutation():
     reg_direct = stpp_ft @ np.asarray(params["regressor_fc"]["kernel"]) \
         + np.asarray(params["regressor_fc"]["bias"]) / J * (0.7 + 1.0 + 0.3)
     np.testing.assert_allclose(np.asarray(reg)[0], reg_direct, rtol=1e-4, atol=1e-4)
+
+
+def test_inception_v3_shapes():
+    backbone, feat_dim, spec = get_backbone("InceptionV3", "RGB")
+    assert feat_dim == 2048
+    assert spec.input_size == 299 and spec.scale_size == 341
+    x = jnp.zeros((1, 299, 299, 3))
+    variables = backbone.init(jax.random.PRNGKey(0), x)
+    feats = backbone.apply(variables, x)
+    assert feats.shape == (1, 2048)
+    params = variables["params"]
+    assert "Conv2d_1a_3x3_conv" in params
+    assert "Mixed_5b" in params and "Mixed_7c" in params
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    # inception v3 trunk is ~21.8M params
+    assert 20_000_000 < n < 24_000_000, n

@@ -1,0 +1,46 @@
+"""Parity tests: C++ host kernels vs the numpy fallback paths."""
+
+import numpy as np
+import pytest
+
+native = pytest.importorskip("action_detection_tpu.utils.native")
+
+from action_detection_tpu.ops import nms as nms_mod
+from action_detection_tpu.ops import tag as tag_mod
+
+
+def test_native_nms_matches_numpy_fallback(monkeypatch):
+    rng = np.random.RandomState(0)
+    for offset in (0.0, 1.0):
+        for _ in range(25):
+            n = rng.randint(1, 80)
+            starts = rng.rand(n) * 100
+            ends = starts + rng.rand(n) * 30 + 0.1
+            scores = rng.rand(n)
+            got = native.nms_indices(starts, ends, scores, 0.4, offset)
+            monkeypatch.setattr(nms_mod, "_native_nms", None)
+            want = nms_mod.temporal_nms_indices(starts, ends, scores, 0.4,
+                                                duration_offset=offset)
+            monkeypatch.setattr(nms_mod, "_native_nms", native.nms_indices)
+            np.testing.assert_array_equal(got, want)
+
+
+def test_native_tag_search_matches_python(monkeypatch):
+    rng = np.random.RandomState(1)
+    for _ in range(15):
+        length = rng.randint(20, 120)
+        labels = (rng.rand(length) > 0.6)
+        if not labels.any():
+            labels[5] = True
+        scores = rng.randn(length)
+        tol = np.array([0.0, 0.1, 0.3, 0.7])
+
+        monkeypatch.setattr(tag_mod, "_native_box_search", None)
+        want = tag_mod.build_box_by_search([(2, labels, scores)], tol)
+        monkeypatch.setattr(tag_mod, "_native_box_search", native.tag_box_search)
+        got = tag_mod.build_box_by_search([(2, labels, scores)], tol)
+
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g[0] == w[0] and g[1] == w[1] and g[2] == w[2]
+            assert abs(g[3] - w[3]) < 1e-9
