@@ -41,7 +41,7 @@ def main(argv=None):
     from ..data.binary_dataset import BinaryDataset
     from ..data.pipeline import (DirectoryFrameProvider, SyntheticFrameProvider,
                                  iter_test_frame_batches, make_test_transform)
-    from ..data.transforms import normalize_stack
+    from ..data.transforms import preprocess_frames
     from ..models import BinaryClassifier
     from ..models.backbones import get_backbone
     from ..train import load_checkpoint
@@ -51,7 +51,6 @@ def main(argv=None):
                              base_model=args.arch, dropout=0.0)
     _, _, spec = get_backbone(args.arch, args.modality)
     new_length = 1 if args.modality == "RGB" else 5
-    channels_per_image = 1 if args.modality == "Flow" else 3
 
     ck = load_checkpoint(args.weights)
     variables = {"params": ck["params"]}
@@ -75,9 +74,7 @@ def main(argv=None):
 
     @jax.jit
     def score_chunk(frames_u8):
-        x = normalize_stack(frames_u8, spec.mean, spec.std, bgr=spec.bgr,
-                            div255=spec.div255,
-                            channels_per_image=channels_per_image)
+        x = preprocess_frames(frames_u8, spec, args.modality, new_length)
         return model.apply(variables, x, method=BinaryClassifier.score_frames)
 
     n = len(dataset.video_list)

@@ -27,7 +27,7 @@ def main(argv=None):
     from ..data.binary_dataset import BinaryDataset
     from ..data.pipeline import (DirectoryFrameProvider, PrefetchLoader,
                                  SyntheticFrameProvider, load_proposal_frames)
-    from ..data.transforms import Stack, get_train_augmentation, normalize_stack
+    from ..data.transforms import Stack, get_train_augmentation, preprocess_frames
     from ..models import BinaryClassifier
     from ..models.backbones import get_backbone
     from ..ops.losses import accuracy
@@ -42,7 +42,6 @@ def main(argv=None):
                              dropout=args.dropout, bn_mode=args.bn_mode)
     _, _, spec = get_backbone(args.arch, args.modality)
     new_length = 1 if args.modality == "RGB" else 5
-    channels_per_image = 1 if args.modality == "Flow" else 3
 
     train_prop_file = os.path.join(args.prop_file_dir,
                                    f"{cfg.train_list}_proposal_list.txt")
@@ -78,9 +77,7 @@ def main(argv=None):
                 "labels": np.concatenate(labels)}
 
     def loss_fn(params, batch_stats, batch, rng):
-        x = normalize_stack(batch["frames"], spec.mean, spec.std, bgr=spec.bgr,
-                            div255=spec.div255,
-                            channels_per_image=channels_per_image)
+        x = preprocess_frames(batch["frames"], spec, args.modality, new_length)
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
@@ -98,9 +95,8 @@ def main(argv=None):
 
     rng = np.random.RandomState(args.seed)
     init_batch = assemble([0], rng)
-    x0 = normalize_stack(jnp.asarray(init_batch["frames"][:1]), spec.mean,
-                         spec.std, bgr=spec.bgr, div255=spec.div255,
-                         channels_per_image=channels_per_image)
+    x0 = preprocess_frames(jnp.asarray(init_batch["frames"][:1]), spec,
+                           args.modality, new_length)
     variables = model.init({"params": jax.random.PRNGKey(args.seed)}, x0,
                            train=False)
     state = TrainState(step=jnp.zeros((), jnp.int32),

@@ -74,7 +74,7 @@ def main(argv=None):
                               reg_stats=reg_stats, num_class=cfg.num_class,
                               stpp_cfg=cfg.stpp, test_crops=args.test_crops,
                               chunk_frames=args.test_batchsize,
-                              channels_per_image=1 if args.modality == "Flow" else 3,
+                              modality=args.modality,
                               device=device,
                               with_regression=not args.no_regression)
 

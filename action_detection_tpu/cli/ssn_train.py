@@ -44,7 +44,6 @@ def main(argv=None):
                 dropout=args.dropout, stpp_cfg=stpp_cfg, bn_mode=args.bn_mode)
     _, _, spec = get_backbone(args.arch, args.modality)
     new_length = model.resolved_new_length
-    channels_per_image = 1 if args.modality == "Flow" else 3
 
     train_prop_file = os.path.join(args.prop_file_dir,
                                    f"{cfg.train_list}_proposal_list.txt")
@@ -79,7 +78,7 @@ def main(argv=None):
     rng = np.random.RandomState(args.seed)
     init_batch = assemble_train_batch(train_ds, [0], provider, augmentation, rng)
     state = create_train_state(model, tx, init_batch, spec, seed=args.seed,
-                               channels_per_image=channels_per_image)
+                               modality=args.modality)
 
     if args.init_weights and os.path.isfile(args.init_weights):
         ck = load_checkpoint(args.init_weights)
@@ -99,9 +98,9 @@ def main(argv=None):
 
     weights = LossWeights(comp=args.comp_loss_weight, reg=args.reg_loss_weight)
     train_step = make_train_step(model, tx, sampling, spec, weights,
-                                 channels_per_image)
+                                 modality=args.modality)
     eval_step = make_eval_step(model, sampling, spec, weights,
-                               channels_per_image)
+                               modality=args.modality)
 
     mesh = make_mesh()
     state = replicate(state, mesh)

@@ -76,13 +76,21 @@ class SyntheticFrameProvider:
         return [Image.fromarray(x, "L"), Image.fromarray(y, "L")]
 
 
+def frames_per_segment(modality: str, new_length: int) -> int:
+    """Frames fetched per segment: RGBDiff needs new_length+1 raw frames to
+    produce new_length differences on device."""
+    return new_length + 1 if modality == "RGBDiff" else new_length
+
+
 def load_proposal_frames(provider, video_id: str, frame_indices: Sequence[int],
                          frame_cnt: int, new_length: int = 1) -> List:
     """PIL frames for one proposal's segments: for each segment start ``p``,
-    frames ``min(frame_cnt, p + x)`` for x in [0, new_length)."""
+    frames ``min(frame_cnt, p + x)`` for x in [0, n)  where n accounts for the
+    RGBDiff extra frame."""
+    n = frames_per_segment(provider.modality, new_length)
     frames = []
     for p in frame_indices:
-        for x in range(new_length):
+        for x in range(n):
             frames.extend(provider.load(video_id, min(int(frame_cnt), int(p) + x)))
     return frames
 
@@ -161,7 +169,8 @@ def iter_test_frame_batches(provider, video_id: str, frame_ticks: np.ndarray,
         stacked = Stack()(out)                          # (H, W, crops * n_img * c)
         H, W, C_total = stacked.shape
         # channels per tick-stack: new_length frames x channels each
-        imgs_per_tick = (2 if provider.modality == "Flow" else 1) * new_length
+        n_per_tick = frames_per_segment(provider.modality, new_length)
+        imgs_per_tick = (2 if provider.modality == "Flow" else 1) * n_per_tick
         c_img = 1 if provider.modality == "Flow" else 3
         c_in = imgs_per_tick * c_img
         total_stacks = C_total // c_in

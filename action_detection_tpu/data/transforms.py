@@ -270,3 +270,46 @@ def normalize_stack(frames, mean, std, bgr: bool = False, div255: bool = False,
     mean = jnp.tile(mean, c_total // mean.shape[0])
     std = jnp.tile(std, c_total // std.shape[0])
     return (x - mean) / std
+
+
+def preprocess_frames(frames, spec, modality: str = "RGB", new_length: int = 1,
+                      dtype=None):
+    """Full device-side preprocessing for any modality.
+
+    RGB/Flow: normalize with the backbone's input statistics. RGBDiff: BGR
+    roll then consecutive-frame differences with no mean/std (the reference
+    trains RGBDiff with IdentityTransform normalization, ssn_train.py:88-90).
+    """
+    if modality == "RGBDiff":
+        x = normalize_stack(frames, (0.0,), (1.0,), bgr=spec.bgr,
+                            div255=spec.div255, channels_per_image=3,
+                            dtype=dtype)
+        return rgb_diff(x, new_length)
+    channels = 1 if modality == "Flow" else 3
+    return normalize_stack(frames, spec.mean, spec.std, bgr=spec.bgr,
+                           div255=spec.div255, channels_per_image=channels,
+                           dtype=dtype)
+
+
+def rgb_diff(frames, new_length: int, keep_rgb: bool = False):
+    """Consecutive-frame RGB differences on device (the RGBDiff modality).
+
+    Args:
+      frames: ``(..., H, W, 3*(new_length+1))`` stacked frames per segment.
+      new_length: number of diffs produced.
+
+    Returns ``(..., H, W, 3*new_length)`` (or ``3*(new_length+1)`` with
+    keep_rgb) — the reference's ``_get_diff`` (ssn_models.py:302-316) computed
+    once on device instead of with in-place tensor surgery.
+    """
+    import jax.numpy as jnp
+
+    shape = frames.shape
+    n_frames = shape[-1] // 3
+    assert n_frames == new_length + 1, (n_frames, new_length)
+    x = frames.reshape(shape[:-1] + (n_frames, 3))
+    diffs = x[..., 1:, :] - x[..., :-1, :]
+    if keep_rgb:
+        out = jnp.concatenate([x[..., :1, :], diffs], axis=-2)
+        return out.reshape(shape[:-1] + (3 * (new_length + 1),))
+    return diffs.reshape(shape[:-1] + (3 * new_length,))

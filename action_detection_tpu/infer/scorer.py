@@ -27,7 +27,7 @@ import numpy as np
 
 from ..data.pipeline import iter_test_frame_batches, make_test_transform
 from ..data.ssn_dataset import SSNDataset, TestSample
-from ..data.transforms import normalize_stack
+from ..data.transforms import preprocess_frames
 from ..models.backbones import InputSpec
 from ..models.ssn import SSN, fuse_test_heads
 from ..ops.stpp import (ReorganizedScoreLayout, StppConfig,
@@ -68,18 +68,22 @@ class ProposalScorer:
                  num_class: Optional[int] = None,
                  stpp_cfg=(1, 1, 1), test_crops: int = 10,
                  chunk_frames: int = 32,
-                 channels_per_image: int = 3,
+                 modality: str = "RGB",
                  device=None,
-                 with_regression: bool = True):
+                 with_regression: bool = True,
+                 use_pallas: Optional[bool] = None):
         self.model = model
         self.input_spec = input_spec
         self.test_crops = test_crops
         self.chunk_frames = chunk_frames
-        self.channels_per_image = channels_per_image
+        self.modality = modality
         self.reg_stats = np.asarray(reg_stats) if reg_stats is not None else None
         self.num_class = num_class or model.num_class
         self.with_regression = with_regression
         self.device = device or jax.devices()[0]
+        if use_pallas is None:
+            use_pallas = self.device.platform == "tpu"
+        self.use_pallas = use_pallas
 
         kernel, bias = fuse_test_heads(params, self.num_class, stpp_cfg,
                                        with_regression=with_regression)
@@ -105,19 +109,25 @@ class ProposalScorer:
 
     def _score_chunk_impl(self, frames_u8, n_stacks: int):
         """(crops*n_stacks_padded, H, W, C) uint8 -> (n_stacks_padded, D) crop-mean."""
-        x = normalize_stack(frames_u8, self.input_spec.mean, self.input_spec.std,
-                            bgr=self.input_spec.bgr,
-                            div255=self.input_spec.div255,
-                            channels_per_image=self.channels_per_image)
+        x = preprocess_frames(frames_u8, self.input_spec, self.modality,
+                              self.model.resolved_new_length)
         scores = self.model.apply(self._variables, x, self._kernel, self._bias,
                                   method=SSN.score_frames)
         scores = scores.reshape(self.test_crops, n_stacks, -1)
         return scores.mean(axis=0)
 
     def _pool_impl(self, frame_scores, prop_ticks, prop_scaling, num_frames: int):
-        act, comp, reg = reorganized_stpp_pool(frame_scores, prop_ticks,
-                                               prop_scaling, self.layout,
-                                               self.stpp, num_frames=num_frames)
+        if self.use_pallas:
+            from ..ops.stpp_pallas import reorganized_stpp_pool_pallas
+
+            act, comp, reg = reorganized_stpp_pool_pallas(
+                frame_scores, prop_ticks, prop_scaling, self.layout,
+                self.stpp, num_frames=num_frames)
+        else:
+            act, comp, reg = reorganized_stpp_pool(frame_scores, prop_ticks,
+                                                   prop_scaling, self.layout,
+                                                   self.stpp,
+                                                   num_frames=num_frames)
         if reg is not None and self.reg_stats is not None:
             reg = reg.reshape(-1, self.num_class, 2)
             stats = jnp.asarray(self.reg_stats, jnp.float32)
@@ -187,26 +197,37 @@ def score_videos(scorer_factory, dataset: SSNDataset, provider,
 
     ``scorer_factory(device)`` builds a ProposalScorer pinned to a device.
     """
+    import queue
     import threading
-    from queue import Queue
 
     devices = devices or jax.devices()
     indices = list(indices if indices is not None else range(len(dataset.video_list)))
-    work: "Queue" = Queue()
+    work: "queue.Queue" = queue.Queue()
     for i in indices:
         work.put(i)
     results: Dict[str, ScoredVideo] = {}
+    errors = []
     lock = threading.Lock()
 
     def worker(device):
-        scorer = scorer_factory(device)
+        try:
+            scorer = scorer_factory(device)
+        except Exception as e:  # propagate instead of hanging the collection
+            with lock:
+                errors.append(e)
+            return
         while True:
             try:
                 idx = work.get_nowait()
-            except Exception:
+            except queue.Empty:
                 return
-            sample = dataset.get_test_sample(idx)
-            out = scorer.score_video(sample, provider, keep_raw=keep_raw)
+            try:
+                sample = dataset.get_test_sample(idx)
+                out = scorer.score_video(sample, provider, keep_raw=keep_raw)
+            except Exception as e:
+                with lock:
+                    errors.append(e)
+                return
             with lock:
                 results[out.video_id] = out
                 if progress:
@@ -218,6 +239,10 @@ def score_videos(scorer_factory, dataset: SSNDataset, provider,
         t.start()
     for t in threads:
         t.join()
+    if errors:
+        # unlike the reference's daemon workers (a crash silently hangs the
+        # result loop, SURVEY.md §5.3), failures surface to the caller
+        raise errors[0]
     return results
 
 

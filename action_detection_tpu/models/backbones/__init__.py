@@ -69,6 +69,21 @@ def get_backbone(name: str, modality: str = "RGB", new_length: Optional[int] = N
                          (1.0,), bgr=(modality != "Flow"), div255=False)
         return module, TINY_DIM, spec
 
+    if name.startswith("resnet") or name.startswith("vgg"):
+        from .resnet import ResNet, _STAGES, feature_dim
+
+        if name not in _STAGES:
+            raise ValueError(f"Unknown base model: {name}")
+        module = ResNet(arch=name, in_channels=in_channels, bn_mode=bn_mode,
+                        dtype=dtype)
+        if modality == "Flow":
+            # torchvision-style stats (ssn_models.py:115-117)
+            spec = InputSpec(224, (0.5,), (0.226,), bgr=False, div255=True)
+        else:
+            spec = InputSpec(224, (0.485, 0.456, 0.406), (0.229, 0.224, 0.225),
+                             bgr=False, div255=True)
+        return module, feature_dim(name), spec
+
     if name == "InceptionV3":
         from .inception_v3 import InceptionV3, FEATURE_DIM as IV3_DIM
 

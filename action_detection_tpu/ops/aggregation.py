@@ -48,6 +48,20 @@ def sliding_window_aggregation_func(score: np.ndarray, spans=(1, 2, 4, 8, 16),
     return softmax(out_score) if norm else out_score
 
 
+def tpp_aggregation_func(score: np.ndarray, num_class: int) -> np.ndarray:
+    """Temporal-position-aware pooling: frame t votes with the class block of
+    its pyramid stage (reference video_funcs.py:62-72, py3-fixed)."""
+    crop_avg = score.mean(axis=1)
+    stage = crop_avg.shape[1] // num_class
+    length = score.shape[0]
+    step = float(stage) / length
+    out = np.zeros(num_class)
+    for t in range(length):
+        k = int(t * step)
+        out += crop_avg[t, k * num_class: (k + 1) * num_class]
+    return out / length
+
+
 def default_fusion_func(major_score: np.ndarray, other_scores, fusion_weights,
                         norm: bool = True) -> np.ndarray:
     """Weighted sum fusion of multiple streams' scores."""

@@ -23,7 +23,7 @@ import optax
 from flax import struct
 
 from ..config import SamplingConfig
-from ..data.transforms import normalize_stack
+from ..data.transforms import preprocess_frames
 from ..models.backbones import InputSpec
 from ..ops.losses import (activity_cross_entropy, classwise_regression_loss,
                           completeness_loss, accuracy)
@@ -76,14 +76,14 @@ def select_head_subsets(per_video: jnp.ndarray, sampling: SamplingConfig,
 
 def make_loss_fn(model, sampling: SamplingConfig, input_spec: InputSpec,
                  weights: LossWeights = LossWeights(),
-                 channels_per_image: int = 3):
-    """Build the full SSN loss over one uint8 batch (normalization on device)."""
+                 modality: str = "RGB"):
+    """Build the full SSN loss over one uint8 batch (preprocessing on device)."""
     P = sampling.prop_per_video
+    new_length = model.resolved_new_length
 
     def loss_fn(params, batch_stats, batch, dropout_rng, train: bool = True):
-        frames = normalize_stack(batch["frames"], input_spec.mean, input_spec.std,
-                                 bgr=input_spec.bgr, div255=input_spec.div255,
-                                 channels_per_image=channels_per_image)
+        frames = preprocess_frames(batch["frames"], input_spec, modality,
+                                   new_length)
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
@@ -146,10 +146,9 @@ def make_loss_fn(model, sampling: SamplingConfig, input_spec: InputSpec,
 
 def make_train_step(model, tx, sampling: SamplingConfig, input_spec: InputSpec,
                     weights: LossWeights = LossWeights(),
-                    channels_per_image: int = 3, donate: bool = True):
+                    modality: str = "RGB", donate: bool = True):
     """One SGD step, jitted; run it on batches sharded over the mesh."""
-    loss_fn = make_loss_fn(model, sampling, input_spec, weights,
-                           channels_per_image)
+    loss_fn = make_loss_fn(model, sampling, input_spec, weights, modality)
 
     def train_step(state: TrainState, batch, dropout_rng):
         rng = jax.random.fold_in(dropout_rng, state.step)
@@ -168,9 +167,8 @@ def make_train_step(model, tx, sampling: SamplingConfig, input_spec: InputSpec,
 
 def make_eval_step(model, sampling: SamplingConfig, input_spec: InputSpec,
                    weights: LossWeights = LossWeights(),
-                   channels_per_image: int = 3):
-    loss_fn = make_loss_fn(model, sampling, input_spec, weights,
-                           channels_per_image)
+                   modality: str = "RGB"):
+    loss_fn = make_loss_fn(model, sampling, input_spec, weights, modality)
 
     def eval_step(state: TrainState, batch):
         _, (metrics, _) = loss_fn(state.params, state.batch_stats, batch,
@@ -182,12 +180,10 @@ def make_eval_step(model, sampling: SamplingConfig, input_spec: InputSpec,
 
 def create_train_state(model, tx, sample_batch, input_spec: InputSpec,
                        seed: int = 0,
-                       channels_per_image: int = 3) -> TrainState:
+                       modality: str = "RGB") -> TrainState:
     """Initialize params/batch_stats/optimizer from one host batch."""
-    frames = normalize_stack(jnp.asarray(sample_batch["frames"][:1]),
-                             input_spec.mean, input_spec.std,
-                             bgr=input_spec.bgr, div255=input_spec.div255,
-                             channels_per_image=channels_per_image)
+    frames = preprocess_frames(jnp.asarray(sample_batch["frames"][:1]),
+                               input_spec, modality, model.resolved_new_length)
     variables = model.init({"params": jax.random.PRNGKey(seed)},
                            frames, jnp.asarray(sample_batch["scaling"][:1]),
                            train=False)

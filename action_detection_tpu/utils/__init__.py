@@ -1,0 +1,1 @@
+from .meters import AverageMeter, MeterBank, Timer, device_trace

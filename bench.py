@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 A100_ERA_BASELINE_IMG_PER_SEC = 3500.0
 
 CROPS = 10
-TICKS_PER_CHUNK = 32          # frame ticks scored per device step
+TICKS_PER_CHUNK = 64          # frame ticks scored per device step (640-image
+                              # steps measured fastest in a 320..2560 sweep)
 IMAGES_PER_STEP = CROPS * TICKS_PER_CHUNK
 WARMUP_STEPS = 3
 MEASURE_STEPS = 20

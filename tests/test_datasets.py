@@ -264,3 +264,21 @@ def test_iter_test_frame_batches(prop_file):
     assert total == 10 * len(t.frame_ticks)
     assert chunks[0].shape[1:] == (64, 64, 3)
     assert chunks[0].dtype == np.uint8
+
+
+def test_rgb_diff_transform():
+    import jax.numpy as jnp
+    from action_detection_tpu.data.transforms import rgb_diff
+
+    rng = np.random.RandomState(0)
+    L = 5
+    frames = rng.randn(2, 4, 4, 3 * (L + 1)).astype(np.float32)
+    out = np.asarray(rgb_diff(jnp.asarray(frames), L))
+    assert out.shape == (2, 4, 4, 3 * L)
+    x = frames.reshape(2, 4, 4, L + 1, 3)
+    np.testing.assert_allclose(out.reshape(2, 4, 4, L, 3),
+                               x[..., 1:, :] - x[..., :-1, :], atol=1e-6)
+    kept = np.asarray(rgb_diff(jnp.asarray(frames), L, keep_rgb=True))
+    assert kept.shape == frames.shape
+    np.testing.assert_allclose(kept.reshape(2, 4, 4, L + 1, 3)[..., 0, :],
+                               x[..., 0, :], atol=1e-6)

@@ -173,3 +173,24 @@ def test_inception_v3_shapes():
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     # inception v3 trunk is ~21.8M params
     assert 20_000_000 < n < 24_000_000, n
+
+
+def test_resnet_shapes():
+    backbone, feat_dim, spec = get_backbone("resnet50", "RGB")
+    assert feat_dim == 2048
+    assert spec.div255 and not spec.bgr
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = backbone.init(jax.random.PRNGKey(0), x)
+    feats = backbone.apply(variables, x)
+    assert feats.shape == (1, 2048)
+    params = variables["params"]
+    assert "conv1" in params and "layer1_0" in params and "layer4_2" in params
+    assert "downsample_conv" in params["layer1_0"]
+    assert "downsample_conv" not in params["layer1_1"]
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert 22_000_000 < n < 28_000_000, n  # resnet50 trunk ~23.5M
+
+    b18, d18, _ = get_backbone("resnet18", "RGB")
+    assert d18 == 512
+    v18 = b18.init(jax.random.PRNGKey(0), x)
+    assert b18.apply(v18, x).shape == (1, 512)
