@@ -189,6 +189,32 @@ class ProposalScorer:
                            raw_scores=np.asarray(frame_scores)[:T] if keep_raw else None)
 
 
+def make_sharded_frame_scorer(model: SSN, variables, kernel, bias,
+                              input_spec: InputSpec, mesh,
+                              modality: str = "RGB"):
+    """Frame-axis-sharded dense scorer for very long videos.
+
+    The reference bounds long videos with streaming generators
+    (SURVEY.md §5.7); here a single video's frame batch can instead be
+    sharded across the mesh's data axis — each device scores its slice of
+    frames and XLA gathers the score matrix for pooling. Returns a jitted
+    ``frames_u8 (N, H, W, C) -> scores (N, D)`` with N sharded.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    in_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+
+    def fn(frames_u8):
+        x = preprocess_frames(frames_u8, input_spec, modality,
+                              model.resolved_new_length)
+        return model.apply(variables, x, kernel, bias, method=SSN.score_frames)
+
+    return jax.jit(fn, in_shardings=(in_sharding,), out_shardings=rep)
+
+
 def score_videos(scorer_factory, dataset: SSNDataset, provider,
                  indices: Optional[Iterable[int]] = None,
                  devices=None, keep_raw: bool = False,

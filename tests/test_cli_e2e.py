@@ -90,3 +90,33 @@ def test_binary_train_and_test_and_tag(workdir, monkeypatch):
     for vid, arr in bscores.items():
         assert arr.ndim == 3 and arr.shape[1:] == (10, 2)
         assert np.isfinite(arr).all()
+
+
+def test_flow_modality_train_and_test(workdir, monkeypatch):
+    """Flow two-stream path: 10-channel stacked flow through train + score."""
+    monkeypatch.chdir(workdir)
+
+    from action_detection_tpu.cli.ssn_train import main as train_main
+    from action_detection_tpu.cli.ssn_test import main as test_main
+
+    train_main(["thumos14", "Flow", "--arch", "TinyConv", "--synthetic_data",
+                "-b", "2", "--epochs", "1", "--tem", "1", "-j", "1",
+                "--prop_file_dir", str(workdir), "--print-freq", "1",
+                "--dropout", "0.0"])
+    ckpt = "ssn_thumos14_TinyConv_flow_checkpoint.msgpack"
+    assert os.path.exists(ckpt)
+
+    test_main(["thumos14", "Flow", ckpt, "scores_flow.pkl", "--arch", "TinyConv",
+               "--synthetic_data", "--prop_file_dir", str(workdir),
+               "--frame_interval", "60", "--test_batchsize", "4"])
+    with open("scores_flow.pkl", "rb") as f:
+        scores = pickle.load(f)
+    for vid, tp in scores.items():
+        assert np.isfinite(tp[1]).all()
+
+    # fused two-stream evaluation
+    from action_detection_tpu.cli.eval_detection_results import main as eval_main
+    ap = eval_main(["thumos14", "scores.pkl", "scores_flow.pkl",
+                    "--prop_file_dir", str(workdir), "-j", "2",
+                    "--score_weights", "1", "1.5"])
+    assert np.isfinite(ap).all()

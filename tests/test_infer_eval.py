@@ -160,3 +160,37 @@ def test_generate_detections_topk_mode():
     dets = generate_detections(scores, K, top_k=5)
     total = sum(len(d.get("v", [])) for d in dets)
     assert total == 5
+
+
+def test_sharded_frame_scorer_matches_single_device(scorer_setup):
+    """Frame-axis sharding over the 8-device mesh must match unsharded scores."""
+    from action_detection_tpu.infer.scorer import make_sharded_frame_scorer
+    from action_detection_tpu.models import fuse_test_heads
+    from action_detection_tpu.parallel import make_mesh
+
+    ds, provider, model, spec, variables, reg_stats = scorer_setup
+    kernel, bias = fuse_test_heads(variables["params"], K, (1, 1, 1))
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, size=(32, 32, 32, 3), dtype=np.uint8)
+
+    mesh = make_mesh()
+    sharded_fn = make_sharded_frame_scorer(model, variables, kernel, bias,
+                                           spec, mesh)
+    sharded = np.asarray(sharded_fn(frames))
+
+    single = np.asarray(model.apply(variables, 
+        __import__("action_detection_tpu.data.transforms",
+                   fromlist=["preprocess_frames"]).preprocess_frames(
+            jnp.asarray(frames), spec, "RGB", 1),
+        kernel, bias, method=type(model).score_frames))
+    np.testing.assert_allclose(sharded, single, atol=1e-4)
+
+
+def test_score_videos_propagates_worker_errors(scorer_setup):
+    ds, provider, model, spec, variables, reg_stats = scorer_setup
+
+    def bad_factory(device):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        score_videos(bad_factory, ds, provider, devices=jax.devices()[:2])
