@@ -52,7 +52,14 @@ def main(argv=None):
     _, _, spec = get_backbone(args.arch, args.modality)
     new_length = 1 if args.modality == "RGB" else 5
 
-    ck = load_checkpoint(args.weights)
+    if args.weights.endswith((".pth", ".pth.tar", ".pt")):
+        from ..models.convert import (convert_torch_ssn_checkpoint,
+                                      load_torch_checkpoint)
+
+        ck = convert_torch_ssn_checkpoint(load_torch_checkpoint(args.weights),
+                                          arch=args.arch)
+    else:
+        ck = load_checkpoint(args.weights)
     variables = {"params": ck["params"]}
     if ck["batch_stats"]:
         variables["batch_stats"] = ck["batch_stats"]

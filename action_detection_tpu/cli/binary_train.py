@@ -45,10 +45,16 @@ def main(argv=None):
 
     train_prop_file = os.path.join(args.prop_file_dir,
                                    f"{cfg.train_list}_proposal_list.txt")
+    val_prop_file = os.path.join(args.prop_file_dir,
+                                 f"{cfg.test_list}_proposal_list.txt")
     train_ds = BinaryDataset(train_prop_file, body_seg=args.num_body_segments,
                              new_length=new_length,
                              epoch_multiplier=args.training_epoch_multiplier,
                              verbose=True)
+    # validation uses a balanced 6:6 fg/bg split (binary_train.py:101)
+    val_ds = (BinaryDataset(val_prop_file, body_seg=args.num_body_segments,
+                            new_length=new_length, fg_ratio=6, bg_ratio=6)
+              if os.path.exists(val_prop_file) else None)
 
     if args.synthetic_data:
         provider = SyntheticFrameProvider(modality=args.modality)
@@ -60,13 +66,14 @@ def main(argv=None):
     augmentation = get_train_augmentation(spec.input_size, args.modality)
     S = args.num_body_segments
 
-    def assemble(video_indices, rng):
+    def assemble(video_indices, rng, ds=None, random_shift=True):
+        ds = ds or train_ds
         frames, labels = [], []
         for vi in video_indices:
-            s = train_ds.get_training_sample(vi, rng)
+            s = ds.get_training_sample(vi, rng, random_shift=random_shift)
             for i in range(s.frame_indices.shape[0]):
                 vid = s.frame_video_ids[i]
-                fc = train_ds.video_dict[vid].num_frames
+                fc = ds.video_dict[vid].num_frames
                 pil = load_proposal_frames(provider, vid, s.frame_indices[i],
                                            fc, new_length)
                 stacked = Stack()(augmentation(pil, rng))
@@ -105,6 +112,12 @@ def main(argv=None):
                        opt_state=tx.init(variables["params"]))
 
     @jax.jit
+    def eval_step(state, batch):
+        loss, metrics = loss_fn(state.params, state.batch_stats, batch,
+                                jax.random.PRNGKey(0))[0], None
+        return loss
+
+    @jax.jit
     def train_step(state, batch, key):
         key = jax.random.fold_in(key, state.step)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -141,6 +154,17 @@ def main(argv=None):
                       f"Time {(time.time() - t0) / (i + 1):.3f} "
                       f"Loss {float(metrics['loss']):.4f} "
                       f"Acc {float(metrics['acc']):.2f}", flush=True)
+
+        if val_ds is not None:
+            v_rng = np.random.RandomState(999)
+            n_val = max(min(len(val_ds), 8) // args.batch_size, 1)
+            val_losses = []
+            for i in range(n_val):
+                idxs = [(i * args.batch_size + j) % len(val_ds.video_list)
+                        for j in range(args.batch_size)]
+                vb = assemble(idxs, v_rng, ds=val_ds, random_shift=False)
+                val_losses.append(float(eval_step(state, shard_batch(vb, mesh))))
+            print(f"Validation: Loss {np.mean(val_losses):.4f}")
 
         save_checkpoint(ckpt_file, jax.device_get(state.params),
                         np.zeros((2, 2)),

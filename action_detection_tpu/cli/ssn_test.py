@@ -51,7 +51,15 @@ def main(argv=None):
                 with_regression=not args.no_regression, stpp_cfg=cfg.stpp)
     _, _, spec = get_backbone(args.arch, args.modality)
 
-    ck = load_checkpoint(args.weights)
+    if args.weights.endswith((".pth", ".pth.tar", ".pt")):
+        # reference torch checkpoint: convert on the fly
+        from ..models.convert import (convert_torch_ssn_checkpoint,
+                                      load_torch_checkpoint)
+
+        ck = convert_torch_ssn_checkpoint(load_torch_checkpoint(args.weights),
+                                          arch=args.arch)
+    else:
+        ck = load_checkpoint(args.weights)
     params = ck["params"]
     batch_stats = ck["batch_stats"] or None
     reg_stats = ck.get("reg_stats")

@@ -106,3 +106,15 @@ def get_actionness_configs(dataset: str, cfg_file: Optional[str] = None) -> Data
     with open(path) as f:
         data = yaml.safe_load(f)
     return _build(dataset, data[dataset])
+
+
+def get_reference_model_url(dataset: str, modality: str, init: str,
+                            arch: str) -> str:
+    """Published reference checkpoint URL (ops/utils.py:15-17 parity).
+
+    ``init`` is 'ImageNet' or 'Kinetics'. Download externally and feed the
+    local .pth.tar to ssn_test.py (converted on load).
+    """
+    with open(os.path.join(_CFG_DIR, "reference_models.yaml")) as f:
+        data = yaml.safe_load(f)
+    return data[dataset][init][arch][modality]

@@ -120,3 +120,69 @@ def test_flow_modality_train_and_test(workdir, monkeypatch):
                     "--prop_file_dir", str(workdir), "-j", "2",
                     "--score_weights", "1", "1.5"])
     assert np.isfinite(ap).all()
+
+
+def test_torch_checkpoint_loading_in_cli(workdir, monkeypatch):
+    """ssn_test accepts a reference-style torch .pth.tar and converts it."""
+    monkeypatch.chdir(workdir)
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from action_detection_tpu.models import SSN
+    from tests.test_convert import make_torch_style_backbone_sd
+
+    model = SSN(num_class=20, base_model="TinyConv", dropout=0.0)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 9, 32, 32, 3)), jnp.ones((1, 2)),
+                           train=False)
+    rng = np.random.RandomState(0)
+    backbone_vars = {"params": variables["params"]["backbone"],
+                     "batch_stats": variables["batch_stats"]["backbone"]}
+    sd = {f"module.base_model.{k}": torch.from_numpy(np.asarray(v))
+          for k, v in make_torch_style_backbone_sd(backbone_vars, rng).items()}
+    D = 32
+    for head, out in (("activity_fc", 21), ("completeness_fc", 20),
+                      ("regressor_fc", 40)):
+        din = D if head == "activity_fc" else 3 * D
+        sd[f"module.{head}.weight"] = torch.from_numpy(
+            rng.randn(out, din).astype(np.float32) * 0.01)
+        sd[f"module.{head}.bias"] = torch.zeros(out)
+    torch.save({"state_dict": sd, "epoch": 1, "arch": "TinyConv",
+                "best_loss": 1.0,
+                "reg_stats": torch.from_numpy(np.array([[0.0, 0.0], [1.0, 1.0]]))},
+               "ref_ckpt.pth.tar")
+
+    from action_detection_tpu.cli.ssn_test import main as test_main
+    test_main(["thumos14", "RGB", "ref_ckpt.pth.tar", "scores_torch.pkl",
+               "--arch", "TinyConv", "--synthetic_data",
+               "--prop_file_dir", str(workdir), "--frame_interval", "60",
+               "--test_batchsize", "4"])
+    with open("scores_torch.pkl", "rb") as f:
+        scores = pickle.load(f)
+    assert all(np.isfinite(tp[1]).all() for tp in scores.values())
+
+
+def test_torch_init_weights_cross_modality(workdir, monkeypatch):
+    """--init_weights with an RGB torch backbone initializes a Flow model by
+    first-conv channel-mean tiling."""
+    monkeypatch.chdir(workdir)
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from action_detection_tpu.models.backbones import get_backbone
+    from tests.test_convert import make_torch_style_backbone_sd
+
+    backbone, _, _ = get_backbone("TinyConv", "RGB")
+    variables = backbone.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in
+          make_torch_style_backbone_sd(variables, np.random.RandomState(0)).items()}
+    torch.save({"state_dict": sd}, "rgb_backbone.pth")
+
+    from action_detection_tpu.cli.ssn_train import main as train_main
+    train_main(["thumos14", "Flow", "--arch", "TinyConv", "--synthetic_data",
+                "-b", "2", "--epochs", "1", "--tem", "1", "-j", "1",
+                "--prop_file_dir", str(workdir), "--print-freq", "1",
+                "--dropout", "0.0", "--init_weights", "rgb_backbone.pth"])
+    assert os.path.exists("ssn_thumos14_TinyConv_flow_checkpoint.msgpack")

@@ -114,3 +114,12 @@ def test_config_loading():
 
     act = get_actionness_configs("thumos14")
     assert act.num_class == 2
+
+
+def test_reference_model_url_lookup():
+    from action_detection_tpu.config import get_reference_model_url
+
+    url = get_reference_model_url("thumos14", "RGB", "ImageNet", "BNInception")
+    assert url.startswith("https://") and url.endswith(".pth.tar")
+    url2 = get_reference_model_url("thumos14", "Flow", "Kinetics", "InceptionV3")
+    assert "kinetics" in url2
