@@ -18,7 +18,6 @@ STPP (ops/ssn_ops.py:82-170). Structure preserved, machinery redesigned:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, Iterable, Optional, Tuple
 
 import jax
