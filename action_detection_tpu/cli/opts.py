@@ -51,4 +51,6 @@ def build_train_parser(description: str) -> argparse.ArgumentParser:
     parser.add_argument("--synthetic_data", action="store_true",
                         help="use the synthetic frame provider (smoke tests)")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--trace_dir", default=None, type=str,
+                        help="write a JAX profiler trace of a few train steps")
     return parser

@@ -180,6 +180,15 @@ def main(argv=None):
                                 steps_per_epoch, num_threads=args.workers)
         t0 = time.time()
         for i, batch in enumerate(loader):
+            if args.trace_dir and epoch == start_epoch and i == 1:
+                # trace one steady-state step (skip the compile step)
+                from ..utils.meters import device_trace
+
+                with device_trace(args.trace_dir):
+                    state, metrics = train_step(state, shard_batch(batch, mesh),
+                                                dropout_key)
+                    jax.block_until_ready(metrics["loss"])
+                continue
             state, metrics = train_step(state, shard_batch(batch, mesh),
                                         dropout_key)
             if i % args.print_freq == 0:

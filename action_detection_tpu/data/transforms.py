@@ -162,6 +162,34 @@ def fill_fix_offset(more_fix_crop: bool, image_w: int, image_h: int,
     return ret
 
 
+class GroupRandomSizedCrop:
+    """Inception-style random area (0.08-1.0) + aspect (3/4-4/3) crop,
+    resized to ``size`` (transforms.py:209-253 parity)."""
+
+    def __init__(self, size: int):
+        self.size = size
+
+    def __call__(self, img_group, rng: np.random.RandomState):
+        w0, h0 = img_group[0].size
+        for _ in range(10):
+            area = w0 * h0
+            target_area = rng.uniform(0.08, 1.0) * area
+            aspect_ratio = rng.uniform(3.0 / 4, 4.0 / 3)
+            w = int(round(np.sqrt(target_area * aspect_ratio)))
+            h = int(round(np.sqrt(target_area / aspect_ratio)))
+            if rng.rand() < 0.5:
+                w, h = h, w
+            if w <= w0 and h <= h0:
+                x1 = rng.randint(0, w0 - w + 1)
+                y1 = rng.randint(0, h0 - h + 1)
+                return [img.crop((x1, y1, x1 + w, y1 + h))
+                           .resize((self.size, self.size), Image.BILINEAR)
+                        for img in img_group]
+        # fallback: scale + random crop
+        scaled = GroupScale(self.size)(img_group)
+        return GroupRandomCrop(self.size)(scaled, rng)
+
+
 class GroupOverSample:
     """10-crop test oversampling: 5 fixed crops x {identity, flip}.
 

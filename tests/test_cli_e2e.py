@@ -186,3 +186,27 @@ def test_torch_init_weights_cross_modality(workdir, monkeypatch):
                 "--prop_file_dir", str(workdir), "--print-freq", "1",
                 "--dropout", "0.0", "--init_weights", "rgb_backbone.pth"])
     assert os.path.exists("ssn_thumos14_TinyConv_flow_checkpoint.msgpack")
+
+
+def test_activitynet_eval_config(workdir, monkeypatch):
+    """ActivityNet eval path: 100 classes, top_k=60 filter, IoU 0.5:0.05:0.95."""
+    monkeypatch.chdir(workdir)
+    from tests.test_datasets import write_proposal_list
+
+    write_proposal_list("activitynet1.2_tag_val_proposal_list.txt", n_videos=2,
+                        seed=3)
+    rng = np.random.RandomState(0)
+    scores = {}
+    for v in range(2):
+        P = 10
+        rel = np.sort(rng.rand(P, 2), axis=1)
+        scores[f"video_{v}"] = (rel, rng.randn(P, 101), rng.randn(P, 100),
+                                rng.randn(P, 100, 2) * 0.01)
+    with open("anet_scores.pkl", "wb") as f:
+        pickle.dump(scores, f)
+
+    from action_detection_tpu.cli.eval_detection_results import main as eval_main
+    ap = eval_main(["activitynet1.2", "anet_scores.pkl",
+                    "--prop_file_dir", str(workdir), "-j", "2"])
+    assert ap.shape == (100, 10)
+    assert np.isfinite(ap).all()

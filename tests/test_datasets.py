@@ -282,3 +282,16 @@ def test_rgb_diff_transform():
     assert kept.shape == frames.shape
     np.testing.assert_allclose(kept.reshape(2, 4, 4, L + 1, 3)[..., 0, :],
                                x[..., 0, :], atol=1e-6)
+
+
+def test_group_random_sized_crop():
+    from action_detection_tpu.data.transforms import GroupRandomSizedCrop
+
+    group = _color_group(3, w=100, h=80)
+    out = GroupRandomSizedCrop(64)(group, np.random.RandomState(0))
+    assert len(out) == 3
+    assert all(img.size == (64, 64) for img in out)
+    # shared crop window across the group
+    a = np.asarray(out[0])
+    b = GroupRandomSizedCrop(64)(group, np.random.RandomState(0))[0]
+    np.testing.assert_array_equal(a, np.asarray(b))

@@ -194,3 +194,25 @@ def test_score_videos_propagates_worker_errors(scorer_setup):
 
     with pytest.raises(RuntimeError, match="boom"):
         score_videos(bad_factory, ds, provider, devices=jax.devices()[:2])
+
+
+def test_generate_detections_external_classifier_mode():
+    """cls_score_dict mode keeps only the video's top classes (UntrimmedNets
+    filter, eval_detection_results.py:130-145)."""
+    rng = np.random.RandomState(1)
+    rel = np.sort(rng.rand(6, 2), axis=1)
+    act = rng.randn(6, K + 1)
+    comp = rng.randn(6, K)
+    scores = {"v": (rel, act, comp, None)}
+    cls_scores = {"v": np.array([0.1, 0.9, 0.5])}
+    dets = generate_detections(scores, K, top_k=0,
+                               softmax_before_filter=True,
+                               cls_score_dict=cls_scores, cls_top_k=1)
+    # only class 1 (argmax) receives detections
+    assert "v" in dets[1] and len(dets[1]["v"]) == 6
+    assert "v" not in dets[0] and "v" not in dets[2]
+
+    dets2 = generate_detections(scores, K, top_k=0,
+                                softmax_before_filter=False,
+                                cls_score_dict=cls_scores, cls_top_k=2)
+    assert "v" in dets2[1] and "v" in dets2[2] and "v" not in dets2[0]
