@@ -216,3 +216,14 @@ def test_generate_detections_external_classifier_mode():
                                 softmax_before_filter=False,
                                 cls_score_dict=cls_scores, cls_top_k=2)
     assert "v" in dets2[1] and "v" in dets2[2] and "v" not in dets2[0]
+
+
+def test_single_crop_scoring(scorer_setup):
+    """--test_crops 1 path (GroupScale + GroupCenterCrop)."""
+    ds, provider, model, spec, variables, reg_stats = scorer_setup
+    scorer = ProposalScorer(model, variables["params"],
+                            variables.get("batch_stats"), spec,
+                            reg_stats=reg_stats, test_crops=1, chunk_frames=8)
+    out = scorer.score_video(ds.get_test_sample(0), provider)
+    assert np.isfinite(out.act_scores).all()
+    assert out.act_scores.shape[1] == K + 1
