@@ -83,12 +83,13 @@ def main(argv=None):
         return {"frames": np.stack(frames).astype(np.uint8),
                 "labels": np.concatenate(labels)}
 
-    def loss_fn(params, batch_stats, batch, rng):
+    def loss_fn(params, batch_stats, batch, rng, train=True):
         x = preprocess_frames(batch["frames"], spec, args.modality, new_length)
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-        logits = model.apply(variables, x, train=True, rngs={"dropout": rng})
+        logits = model.apply(variables, x, train=train,
+                             rngs={"dropout": rng} if train else None)
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, batch["labels"]).mean()
         return loss, {"loss": loss, "acc": accuracy(logits, batch["labels"])}
@@ -113,8 +114,8 @@ def main(argv=None):
 
     @jax.jit
     def eval_step(state, batch):
-        loss, metrics = loss_fn(state.params, state.batch_stats, batch,
-                                jax.random.PRNGKey(0))[0], None
+        loss, _ = loss_fn(state.params, state.batch_stats, batch,
+                          jax.random.PRNGKey(0), train=False)
         return loss
 
     @jax.jit
