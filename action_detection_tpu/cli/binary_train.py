@@ -64,10 +64,15 @@ def main(argv=None):
         provider = DirectoryFrameProvider(args.data_root, tmpl, args.modality)
 
     augmentation = get_train_augmentation(spec.input_size, args.modality)
+    from ..data.transforms import Compose, GroupCenterCrop, GroupScale
+
+    eval_transform = Compose([GroupScale(spec.scale_size),
+                              GroupCenterCrop(spec.input_size)])
     S = args.num_body_segments
 
     def assemble(video_indices, rng, ds=None, random_shift=True):
         ds = ds or train_ds
+        transform = augmentation if random_shift else eval_transform
         frames, labels = [], []
         for vi in video_indices:
             s = ds.get_training_sample(vi, rng, random_shift=random_shift)
@@ -76,7 +81,7 @@ def main(argv=None):
                 fc = ds.video_dict[vid].num_frames
                 pil = load_proposal_frames(provider, vid, s.frame_indices[i],
                                            fc, new_length)
-                stacked = Stack()(augmentation(pil, rng))
+                stacked = Stack()(transform(pil, rng))
                 H, W, C = stacked.shape
                 frames.append(stacked.reshape(H, W, S, C // S).transpose(2, 0, 1, 3))
             labels.append(s.labels)
@@ -88,11 +93,19 @@ def main(argv=None):
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-        logits = model.apply(variables, x, train=train,
-                             rngs={"dropout": rng} if train else None)
+        mutable = ["batch_stats"] if (train and batch_stats is not None) else False
+        out = model.apply(variables, x, train=train,
+                          rngs={"dropout": rng} if train else None,
+                          mutable=mutable)
+        if mutable:
+            logits, new_vars = out
+            new_stats = new_vars.get("batch_stats", batch_stats)
+        else:
+            logits, new_stats = out, batch_stats
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, batch["labels"]).mean()
-        return loss, {"loss": loss, "acc": accuracy(logits, batch["labels"])}
+        return loss, ({"loss": loss, "acc": accuracy(logits, batch["labels"])},
+                      new_stats)
 
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
     tx = make_optimizer(base_lr=args.lr, lr_steps=args.lr_steps,
@@ -121,11 +134,12 @@ def main(argv=None):
     @jax.jit
     def train_step(state, batch, key):
         key = jax.random.fold_in(key, state.step)
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, key)
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, key)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=params,
+                             batch_stats=new_stats,
                              opt_state=opt_state), metrics
 
     mesh = make_mesh()

@@ -67,6 +67,12 @@ def main(argv=None):
         provider = DirectoryFrameProvider(args.data_root, tmpl, args.modality)
 
     augmentation = get_train_augmentation(spec.input_size, args.modality)
+    # validation protocol: scale + center crop, no random shift
+    # (reference ssn_train.py:115-131)
+    from ..data.transforms import Compose, GroupCenterCrop, GroupScale
+
+    eval_transform = Compose([GroupScale(spec.scale_size),
+                              GroupCenterCrop(spec.input_size)])
 
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
     tx = make_optimizer(base_lr=args.lr, lr_steps=args.lr_steps,
@@ -94,8 +100,12 @@ def main(argv=None):
             bk_params, bk_stats = convert_torch_backbone_state(sd, args.arch)
             from ..train.optim import FIRST_CONV_NAMES
 
-            first_conv = next(n for n in FIRST_CONV_NAMES if n in bk_params
-                              or n + "_conv" in bk_params)
+            first_conv = next((n for n in FIRST_CONV_NAMES if n in bk_params),
+                              None)
+            if first_conv is None:
+                raise ValueError(
+                    f"could not locate the first conv among {list(bk_params)[:5]}...; "
+                    f"expected one of {FIRST_CONV_NAMES}")
             want_c = state.params["backbone"][first_conv]["kernel"].shape[2]
             have_c = np.asarray(bk_params[first_conv]["kernel"]).shape[2]
             if want_c != have_c:
@@ -155,7 +165,7 @@ def main(argv=None):
         for i in range(n_val):
             idxs = [(i * args.batch_size + j) % len(val_ds.video_list)
                     for j in range(args.batch_size)]
-            batch = assemble_train_batch(val_ds, idxs, provider, augmentation,
+            batch = assemble_train_batch(val_ds, idxs, provider, eval_transform,
                                          v_rng, random_shift=False)
             metrics = eval_step(state, shard_batch(batch, mesh))
             losses.append(float(metrics["loss"]))

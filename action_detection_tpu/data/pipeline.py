@@ -64,9 +64,12 @@ class SyntheticFrameProvider:
         self.seed = seed
 
     def load(self, video_id: str, idx: int):
+        import zlib
+
         from PIL import Image
 
-        key = (hash((self.seed, video_id, int(idx)))) % (2 ** 32)
+        # stable across processes (builtin hash() is salted per process)
+        key = zlib.crc32(f"{self.seed}/{video_id}/{int(idx)}".encode())
         rng = np.random.RandomState(key)
         if self.modality in ("RGB", "RGBDiff"):
             arr = rng.randint(0, 256, size=(self.height, self.width, 3), dtype=np.uint8)
@@ -179,7 +182,12 @@ def iter_test_frame_batches(provider, video_id: str, frame_ticks: np.ndarray,
 
 
 class PrefetchLoader:
-    """Background-thread batch producer with a bounded queue (double buffering)."""
+    """Background-thread batch producer with a bounded queue (double buffering).
+
+    At most ``prefetch + num_threads`` batches are in flight: the producer
+    blocks on the bounded handoff queue before submitting more work, so slow
+    consumers exert real backpressure (no unbounded future pile-up).
+    """
 
     def __init__(self, make_batch: Callable[[int], Dict[str, np.ndarray]],
                  num_batches: int, prefetch: int = 2, num_threads: int = 2):
@@ -187,13 +195,22 @@ class PrefetchLoader:
         self.num_batches = num_batches
         self.queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self.pool = ThreadPoolExecutor(max_workers=num_threads)
+        self.num_threads = num_threads
         self._producer = threading.Thread(target=self._produce, daemon=True)
         self._started = False
 
     def _produce(self):
-        futures = [self.pool.submit(self.make_batch, i) for i in range(self.num_batches)]
-        for f in futures:
-            self.queue.put(f.result())
+        from collections import deque
+
+        pending = deque()
+        for i in range(self.num_batches):
+            pending.append(self.pool.submit(self.make_batch, i))
+            # keep only a small window in flight; put() blocks on the bounded
+            # queue, throttling submission
+            while len(pending) > self.num_threads:
+                self.queue.put(pending.popleft().result())
+        while pending:
+            self.queue.put(pending.popleft().result())
         self.queue.put(None)
 
     def __iter__(self):

@@ -9,6 +9,7 @@ over (class, IoU) pairs.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -90,7 +91,12 @@ def generate_detections(detection_scores: Dict[str, ScoreTuple], num_class: int,
                 combined = softmax(act)[:, 1:] * np.exp(comp)
             else:
                 combined = act[:, 1:] * np.exp(comp)
-            video_cls_score = cls_score_dict[video_id]
+            # proposal-list video ids may be frame-directory paths; classifier
+            # dict keys are bare names (reference eval_detection_results.py:135)
+            key = os.path.splitext(os.path.basename(video_id))[0]
+            video_cls_score = cls_score_dict.get(key, cls_score_dict.get(video_id))
+            if video_cls_score is None:
+                raise KeyError(f"no classifier scores for video '{video_id}'")
             for video_cls in np.argsort(video_cls_score)[-cls_top_k:]:
                 dataset_detections[video_cls][video_id] = np.concatenate((
                     rel_prop, combined[:, video_cls][:, None],

@@ -102,7 +102,10 @@ class ProposalScorer:
 
         self._score_chunk = jax.jit(self._score_chunk_impl,
                                     static_argnames=("n_stacks",))
-        self._pool = jax.jit(self._pool_impl, static_argnames=("num_frames",))
+        # num_frames is a traced device scalar and the frame axis is bucketed
+        # to powers of two, so pooling compiles O(log) programs total instead
+        # of one per distinct video length
+        self._pool = jax.jit(self._pool_impl)
 
     # --- device programs ---
 
@@ -116,9 +119,10 @@ class ProposalScorer:
                               self.model.resolved_new_length)
         feats = self.model.apply(self._variables, x, method=SSN.features)
         feats = feats.reshape(self.test_crops, n_stacks, -1).mean(axis=0)
-        return feats @ self._kernel + self._bias
+        return jnp.matmul(feats, self._kernel,
+                          precision=jax.lax.Precision.HIGHEST) + self._bias
 
-    def _pool_impl(self, frame_scores, prop_ticks, prop_scaling, num_frames: int):
+    def _pool_impl(self, frame_scores, prop_ticks, prop_scaling, num_frames):
         if self.use_pallas:
             from ..ops.stpp_pallas import reorganized_stpp_pool_pallas
 
@@ -145,7 +149,9 @@ class ProposalScorer:
                                         self.input_spec.scale_size,
                                         self.test_crops)
         T = len(sample.frame_ticks)
-        T_padded = _round_up(max(T, 1), self.chunk_frames)
+        # bucket the padded frame axis to powers of two (few compiled shapes)
+        T_padded = _pow2_bucket(_round_up(max(T, 1), self.chunk_frames),
+                                lo=self.chunk_frames)
         out_chunks = []
         filled = 0
         for chunk in iter_test_frame_batches(
@@ -181,7 +187,7 @@ class ProposalScorer:
         act, comp, reg = self._pool(frame_scores,
                                     jax.device_put(ticks, self.device),
                                     jax.device_put(scal, self.device),
-                                    num_frames=T)
+                                    jnp.asarray(T, jnp.int32))
         act = np.asarray(act)[:P]
         comp = np.asarray(comp)[:P]
         reg_out = np.asarray(reg)[:P] if reg is not None else None

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -36,7 +37,7 @@ class BinaryClassifier(nn.Module):
         self.feature_dim = feature_dim
         self.classifier_fc = nn.Dense(
             self.num_class, kernel_init=nn.initializers.normal(stddev=0.001),
-            name="classifier_fc")
+            precision=jax.lax.Precision.HIGHEST, name="classifier_fc")
         self.head_dropout = nn.Dropout(rate=self.dropout, name="head_dropout")
 
     def features(self, frames: jnp.ndarray, train: bool = False) -> jnp.ndarray:

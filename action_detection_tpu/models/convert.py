@@ -39,11 +39,39 @@ def strip_prefix(state_dict: Dict[str, Any], prefix: str) -> Dict[str, Any]:
 
 
 def _nest_path(layer: str, arch: str):
-    """Scope path of a layer inside our flax module tree."""
+    """Scope path of a layer inside our flax module tree.
+
+    BNInception: flat caffe names, inception layers nested under their module.
+    InceptionV3: 'Mixed_5b.branch1x1.conv' -> ('Mixed_5b', 'branch1x1_conv').
+    ResNet:      'layer1.0.conv1' -> ('layer1_0', 'conv1');
+                 'downsample.0/.1' -> 'downsample_conv'/'downsample_bn'.
+    """
     if arch == "BNInception" and layer.startswith("inception_"):
         # inception_3a_1x1 -> ('inception_3a', 'inception_3a_1x1')
         module = "_".join(layer.split("_")[:2])
         return (module, layer)
+    if arch == "InceptionV3" and "." in layer:
+        parts = layer.split(".")
+        if parts[-1] in ("conv", "bn"):
+            parts = parts[:-2] + [f"{parts[-2]}_{parts[-1]}"]
+        return tuple(parts)
+    if arch.startswith("resnet") and "." in layer:
+        parts = layer.split(".")
+        out = []
+        i = 0
+        while i < len(parts):
+            p = parts[i]
+            if p.startswith("layer") and i + 1 < len(parts) and parts[i + 1].isdigit():
+                out.append(f"{p}_{parts[i + 1]}")
+                i += 2
+            elif p == "downsample" and i + 1 < len(parts):
+                out.append("downsample_conv" if parts[i + 1] == "0"
+                           else "downsample_bn")
+                i += 2
+            else:
+                out.append(p)
+                i += 1
+        return tuple(out)
     return (layer,)
 
 

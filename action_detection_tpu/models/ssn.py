@@ -68,13 +68,16 @@ class SSN(nn.Module):
         self.feature_dim = feature_dim
 
         init = nn.initializers.normal(stddev=0.001)
+        # full-precision head matmuls: score parity with converted checkpoints
+        # matters more than the negligible FLOPs here
+        prec = jax.lax.Precision.HIGHEST
         self.activity_fc = nn.Dense(self.num_class + 1, kernel_init=init,
-                                    name="activity_fc")
+                                    precision=prec, name="activity_fc")
         self.completeness_fc = nn.Dense(self.num_class, kernel_init=init,
-                                        name="completeness_fc")
+                                        precision=prec, name="completeness_fc")
         if self.with_regression:
             self.regressor_fc = nn.Dense(2 * self.num_class, kernel_init=init,
-                                         name="regressor_fc")
+                                         precision=prec, name="regressor_fc")
         self.head_dropout = nn.Dropout(rate=self.dropout, name="head_dropout")
 
     def features(self, frames: jnp.ndarray, train: bool = False,
@@ -126,7 +129,8 @@ class SSN(nn.Module):
         must be applied with ``method=SSN.score_frames`` and test params.
         """
         feats = self.features(frames, train=False)
-        return feats @ test_kernel + test_bias
+        return jnp.matmul(feats, test_kernel,
+                          precision=jax.lax.Precision.HIGHEST) + test_bias
 
 
 def fuse_test_heads(params, num_class: int, stpp_cfg=(1, 1, 1),

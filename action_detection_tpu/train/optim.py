@@ -29,8 +29,8 @@ GROUPS = ("first_conv_weight", "first_conv_bias", "normal_weight",
           "normal_bias", "bn_frozen")
 
 # the first convolution of each supported backbone (cross-modality finetuning
-# gives it its own lr/decay multipliers)
-FIRST_CONV_NAMES = ("conv1_7x7_s2", "conv_1a_3x3")
+# gives it its own lr/decay multipliers): BNInception, InceptionV3, ResNet
+FIRST_CONV_NAMES = ("conv1_7x7_s2", "Conv2d_1a_3x3_conv", "conv1")
 
 
 def label_params(params) -> dict:
@@ -38,11 +38,16 @@ def label_params(params) -> dict:
 
     def label_one(path) -> str:
         keys = [p.key for p in path if hasattr(p, "key")]
-        joined = "/".join(keys)
         leaf = keys[-1] if keys else ""
-        if any(k.endswith("_bn") or k == "bn" for k in keys):
+        if any(k.endswith("_bn") or k == "bn" or k.startswith("bn") for k in keys[:-1]):
             return "bn_frozen"
-        is_first_conv = any(k in FIRST_CONV_NAMES for k in keys)
+        # first conv only at the backbone's top level ('conv1' also names
+        # convs inside ResNet blocks — those are normal weights)
+        layer_path = keys[:-1]
+        is_first_conv = (len(layer_path) >= 1
+                         and layer_path[-1] in FIRST_CONV_NAMES
+                         and (len(layer_path) == 1
+                              or layer_path[-2] == "backbone"))
         if leaf == "kernel":
             return "first_conv_weight" if is_first_conv else "normal_weight"
         if leaf == "bias":
@@ -75,7 +80,10 @@ def make_optimizer(base_lr: float, lr_steps: Sequence[float],
                    clip_gradient: Optional[float] = None,
                    iter_size: int = 1) -> optax.GradientTransformation:
     """The SSN training optimizer over labeled parameter groups."""
-    schedule = step_decay_schedule(base_lr, lr_steps, steps_per_epoch)
+    # under MultiSteps the inner chain's count advances once per APPLIED
+    # update, so express epoch boundaries in effective updates
+    effective_steps = max(steps_per_epoch // max(iter_size, 1), 1)
+    schedule = step_decay_schedule(base_lr, lr_steps, effective_steps)
 
     def sgd_group(lr_mult: float, decay_mult: float) -> optax.GradientTransformation:
         chain = []

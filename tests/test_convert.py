@@ -140,3 +140,72 @@ def test_strip_prefix():
     sd = {"module.a.weight": 1, "b.bias": 2}
     out = strip_prefix(sd, "module.")
     assert out == {"a.weight": 1, "b.bias": 2}
+
+
+def test_nest_path_arch_mappings():
+    from action_detection_tpu.models.convert import _nest_path
+
+    # InceptionV3 tf-slim naming
+    assert _nest_path("Conv2d_1a_3x3.conv", "InceptionV3") == ("Conv2d_1a_3x3_conv",)
+    assert _nest_path("Mixed_5b.branch1x1.conv", "InceptionV3") == (
+        "Mixed_5b", "branch1x1_conv")
+    assert _nest_path("Mixed_5b.branch1x1.bn", "InceptionV3") == (
+        "Mixed_5b", "branch1x1_bn")
+    # torchvision resnet naming
+    assert _nest_path("conv1", "resnet50") == ("conv1",)
+    assert _nest_path("layer1.0.conv1", "resnet50") == ("layer1_0", "conv1")
+    assert _nest_path("layer1.0.downsample.0", "resnet50") == (
+        "layer1_0", "downsample_conv")
+    assert _nest_path("layer1.0.downsample.1", "resnet50") == (
+        "layer1_0", "downsample_bn")
+
+
+def test_resnet_backbone_conversion_roundtrip():
+    """Fabricated torchvision-style resnet18 state dict loads into our tree."""
+    import torch
+
+    from action_detection_tpu.models.convert import convert_torch_backbone_state
+
+    backbone, _, _ = get_backbone("resnet18", "RGB")
+    variables = backbone.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    flat = flatten(variables["params"])
+    stats = flatten(variables["batch_stats"])
+
+    def torch_name(path):
+        parts = []
+        for p in path[:-1]:
+            if p.startswith("layer"):
+                l, b = p.split("_")
+                parts.extend([l, b])
+            elif p == "downsample_conv":
+                parts.extend(["downsample", "0"])
+            elif p == "downsample_bn":
+                parts.extend(["downsample", "1"])
+            else:
+                parts.append(p)
+        return ".".join(parts)
+
+    rng = np.random.RandomState(0)
+    sd = {}
+    for path, v in flat.items():
+        name = torch_name(path)
+        shape = np.asarray(v).shape
+        if path[-1] == "kernel":
+            sd[name + ".weight"] = rng.randn(*shape).astype(np.float32).transpose(3, 2, 0, 1)
+        elif path[-1] == "scale":
+            sd[name + ".weight"] = np.ones(shape, np.float32)
+        else:
+            sd[name + ".bias"] = np.zeros(shape, np.float32)
+    for path, v in stats.items():
+        name = torch_name(path)
+        shape = np.asarray(v).shape
+        leaf = {"mean": "running_mean", "var": "running_var"}[path[-1]]
+        sd[name + "." + leaf] = (np.zeros(shape, np.float32) if leaf == "running_mean"
+                                 else np.ones(shape, np.float32))
+
+    params, batch_stats = convert_torch_backbone_state(sd, "resnet18")
+    assert set(flatten(params)) == set(flat)
+    assert set(flatten(batch_stats)) == set(stats)
+    out = backbone.apply({"params": params, "batch_stats": batch_stats},
+                         jnp.ones((1, 32, 32, 3)))
+    assert np.isfinite(np.asarray(out)).all()
