@@ -39,7 +39,8 @@ def main(argv=None):
     cfg = get_actionness_configs(args.dataset)
     model = BinaryClassifier(num_class=2, course_segment=args.num_body_segments,
                              modality=args.modality, base_model=args.arch,
-                             dropout=args.dropout, bn_mode=args.bn_mode)
+                             dropout=args.dropout, bn_mode=args.bn_mode,
+                             dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     _, _, spec = get_backbone(args.arch, args.modality)
     new_length = 1 if args.modality == "RGB" else 5
 

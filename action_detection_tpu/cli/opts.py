@@ -53,4 +53,6 @@ def build_train_parser(description: str) -> argparse.ArgumentParser:
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--trace_dir", default=None, type=str,
                         help="write a JAX profiler trace of a few train steps")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 backbone compute (params stay f32)")
     return parser

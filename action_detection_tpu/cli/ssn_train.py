@@ -41,7 +41,8 @@ def main(argv=None):
                 course_segment=args.num_body_segments,
                 ending_segment=args.num_aug_segments,
                 modality=args.modality, base_model=args.arch,
-                dropout=args.dropout, stpp_cfg=stpp_cfg, bn_mode=args.bn_mode)
+                dropout=args.dropout, stpp_cfg=stpp_cfg, bn_mode=args.bn_mode,
+                dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     _, _, spec = get_backbone(args.arch, args.modality)
     new_length = model.resolved_new_length
 

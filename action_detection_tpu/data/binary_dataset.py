@@ -113,16 +113,30 @@ class BinaryDataset:
 
     def _sample_course_indices(self, prop: SSNInstance, frame_cnt: int,
                                rng: Optional[np.random.RandomState]) -> np.ndarray:
-        """Course-stage segment sampling (no start/end augmentation stages)."""
+        """Course-stage segment sampling: one frame per rounded proposal stage
+        (load_binary_score.py:178-195 semantics)."""
         start_frame = prop.start_frame + 1
         end_frame = prop.end_frame
         duration = end_frame - start_frame + 1
-        valid_length = duration - self.new_length
-        if rng is not None:
-            offsets = SSNDataset._sample_indices(valid_length, self.body_seg, rng)
-        else:
-            offsets = SSNDataset._get_val_indices(valid_length, self.body_seg)
-        return np.minimum(offsets + start_frame, frame_cnt).astype(np.int64)
+        sample_duration = duration / self.body_seg
+
+        if rng is None:
+            # deterministic validation path: stage centers
+            offsets = SSNDataset._get_val_indices(duration - self.new_length,
+                                                  self.body_seg)
+            return np.minimum(offsets + start_frame, frame_cnt).astype(np.int64)
+
+        if sample_duration < 1:
+            idx = start_frame + rng.randint(
+                max(prop.end_frame - prop.start_frame, 1), size=self.body_seg)
+            return np.minimum(idx, frame_cnt).astype(np.int64)
+
+        split_stage = [int(np.round(i * sample_duration)) + start_frame
+                       for i in range(self.body_seg + 1)]
+        idx = [rng.choice(range(split_stage[i], max(split_stage[i + 1],
+                                                    split_stage[i] + 1)))
+               for i in range(self.body_seg)]
+        return np.minimum(np.asarray(idx, dtype=np.int64), frame_cnt)
 
     def get_training_sample(self, index: int, rng: np.random.RandomState,
                             random_shift: bool = True) -> BinaryTrainSample:

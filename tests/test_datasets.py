@@ -295,3 +295,27 @@ def test_group_random_sized_crop():
     a = np.asarray(out[0])
     b = GroupRandomSizedCrop(64)(group, np.random.RandomState(0))[0]
     np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_binary_sampler_stage_semantics(prop_file):
+    """Binary course sampling: one frame per rounded proposal stage
+    (load_binary_score.py:178-195)."""
+    from action_detection_tpu.data.ssn_dataset import SSNInstance
+
+    ds = BinaryDataset(prop_file)
+    prop = SSNInstance(100, 300, 600, best_iou=0.9, label=1)
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        idx = ds._sample_course_indices(prop, 600, rng)
+        assert idx.shape == (5,)
+        # each index falls in its own rounded stage [round(i*d/5)+101, ...)
+        duration = 300 - 101 + 1
+        sd = duration / 5
+        bounds = [int(np.round(i * sd)) + 101 for i in range(6)]
+        for i in range(5):
+            assert bounds[i] <= idx[i] < max(bounds[i + 1], bounds[i] + 1), (
+                idx, bounds)
+    # tiny proposal: falls back to randint over the span
+    tiny = SSNInstance(10, 13, 600, best_iou=0.9, label=1)
+    idx = ds._sample_course_indices(tiny, 600, rng)
+    assert idx.shape == (5,) and idx.min() >= 11 and idx.max() <= 14
