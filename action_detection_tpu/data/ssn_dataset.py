@@ -299,6 +299,10 @@ class SSNDataset:
 
         def sample(ptype, video_pool, requested, dataset_pool):
             if len(video_pool) == 0:
+                if len(dataset_pool) == 0:
+                    raise ValueError(
+                        f"proposal pool for type {ptype} is empty dataset-wide; "
+                        "check the proposal list against the sampling thresholds")
                 idx = rng.choice(len(dataset_pool), requested, replace=False)
                 return [(dataset_pool[i], ptype) for i in idx]
             replicate = len(video_pool) < requested
