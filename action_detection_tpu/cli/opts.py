@@ -55,4 +55,9 @@ def build_train_parser(description: str) -> argparse.ArgumentParser:
                         help="write a JAX profiler trace of a few train steps")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 backbone compute (params stay f32)")
+    # multi-host (DCN) data-parallel training
+    parser.add_argument("--coordinator_address", default=None, type=str,
+                        help="host:port of process 0 (jax.distributed)")
+    parser.add_argument("--num_processes", default=None, type=int)
+    parser.add_argument("--process_id", default=None, type=int)
     return parser

@@ -18,6 +18,13 @@ def main(argv=None):
         "Train Structured Segment Networks (TPU-native)").parse_args(argv)
 
     import jax
+
+    if args.coordinator_address:
+        # join the multi-host job before any other jax call (DCN between
+        # hosts, ICI within; the mesh below spans all global devices)
+        jax.distributed.initialize(coordinator_address=args.coordinator_address,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
     import jax.numpy as jnp
 
     from ..config import get_configs
@@ -148,9 +155,17 @@ def main(argv=None):
     n_videos = len(train_ds)
     order = np.arange(n_videos)
 
+    # multi-host: each process assembles its slice of the global batch
+    proc_count = jax.process_count()
+    proc_id = jax.process_index()
+    local_bs = args.batch_size // proc_count
+    assert local_bs * proc_count == args.batch_size, \
+        (args.batch_size, proc_count)
+
     def make_batch_fn(epoch_rng, batch_order):
         def make_batch(i):
             idxs = batch_order[i * args.batch_size:(i + 1) * args.batch_size]
+            idxs = idxs[proc_id * local_bs:(proc_id + 1) * local_bs]
             local_rng = np.random.RandomState(epoch_rng.randint(2 ** 31) + i)
             return assemble_train_batch(train_ds, idxs, provider, augmentation,
                                         local_rng)
@@ -166,6 +181,7 @@ def main(argv=None):
         for i in range(n_val):
             idxs = [(i * args.batch_size + j) % len(val_ds.video_list)
                     for j in range(args.batch_size)]
+            idxs = idxs[proc_id * local_bs:(proc_id + 1) * local_bs]
             batch = assemble_train_batch(val_ds, idxs, provider, eval_transform,
                                          v_rng, random_shift=False)
             metrics = eval_step(state, shard_batch(batch, mesh))

@@ -36,15 +36,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Device-put a pytree of host arrays with the leading dim sharded."""
+    """Form a batch-sharded global pytree from host arrays.
+
+    Single process: a plain device_put. Multi-host: each process contributes
+    its local slice of the batch (its addressable shard of the global array);
+    pass per-process data whose leading dim is ``global_batch / process_count``.
+    """
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), batch)
 
 
 def replicate(tree, mesh: Mesh):
-    """Device-put a pytree replicated across the mesh."""
+    """Replicate a pytree across the mesh (hosts must hold identical values)."""
     sharding = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, jax.device_get(x)), tree)
 
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
