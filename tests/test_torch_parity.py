@@ -125,3 +125,83 @@ def test_bninception_matches_torch_twin(hw):
 
     assert ours.shape == theirs.shape == (2, 1024)
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+def build_torch_resnet18(in_channels: int = 3):
+    import torch.nn as nn
+
+    class Block(nn.Module):
+        def __init__(self, cin, cout, stride, downsample):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(cout)
+            self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(cout)
+            self.downsample = None
+            if downsample:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            identity = x if self.downsample is None else self.downsample(x)
+            out = F.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            return F.relu(out + identity)
+
+    class TorchResNet18(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(in_channels, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            layers = []
+            cin = 64
+            for stage, n_blocks in enumerate((2, 2, 2, 2)):
+                cout = 64 * (2 ** stage)
+                blocks = []
+                for b in range(n_blocks):
+                    stride = 2 if (stage > 0 and b == 0) else 1
+                    blocks.append(Block(cin, cout, stride,
+                                        downsample=(b == 0 and stride != 1)))
+                    cin = cout
+                layers.append(nn.Sequential(*blocks))
+            self.layer1, self.layer2, self.layer3, self.layer4 = layers
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            x = F.relu(self.bn1(self.conv1(x)))
+            x = F.max_pool2d(x, 3, 2, 1)
+            for l in (self.layer1, self.layer2, self.layer3, self.layer4):
+                x = l(x)
+            return x.mean(dim=(2, 3))
+
+    return TorchResNet18()
+
+
+def test_resnet18_matches_torch_twin():
+    torch.manual_seed(1)
+    tm = build_torch_resnet18()
+    tm.eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.02)
+                m.running_var.uniform_(0.9, 1.4)
+                m.weight.normal_(1.0, 0.02)
+                m.bias.normal_(0, 0.02)
+
+    params, batch_stats = convert_torch_backbone_state(tm.state_dict(),
+                                                       "resnet18")
+    backbone, _, _ = get_backbone("resnet18", "RGB")
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 64, 64, 3).astype(np.float32)
+    ours = np.asarray(backbone.apply({"params": params,
+                                      "batch_stats": batch_stats},
+                                     jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    assert ours.shape == theirs.shape == (2, 512)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
