@@ -147,3 +147,23 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     head, tail = os.path.split(path)
     assert os.path.exists(os.path.join(head, tail.replace("checkpoint",
                                                           "model_best")))
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, setup):
+    pytest.importorskip("orbax.checkpoint")
+    from action_detection_tpu.train.checkpoint import (save_checkpoint_orbax,
+                                                       load_checkpoint)
+
+    ds, sampling, provider, aug, model, spec, batch = setup
+    tx = make_optimizer(base_lr=0.1, lr_steps=[100], steps_per_epoch=1)
+    state = create_train_state(model, tx, batch, spec)
+    d = str(tmp_path / "ocp_ckpt")
+    save_checkpoint_orbax(d, jax.device_get(state.params), ds.stats,
+                          batch_stats=jax.device_get(state.batch_stats),
+                          epoch=2, arch="TinyConv", best_loss=0.5)
+    ck = load_checkpoint(d)   # directory dispatches to the orbax backend
+    assert ck["epoch"] == 2 and ck["arch"] == "TinyConv"
+    np.testing.assert_allclose(ck["reg_stats"], ds.stats)
+    np.testing.assert_allclose(
+        np.asarray(ck["params"]["activity_fc"]["kernel"]),
+        np.asarray(state.params["activity_fc"]["kernel"]))
