@@ -227,3 +227,25 @@ def test_single_crop_scoring(scorer_setup):
     out = scorer.score_video(ds.get_test_sample(0), provider)
     assert np.isfinite(out.act_scores).all()
     assert out.act_scores.shape[1] == K + 1
+
+
+def test_multipart_pyramid_scoring(scorer_setup):
+    """stpp_cfg (1,(1,2),1): train, fuse, score, pool — the general pyramid."""
+    ds, provider, _, spec, _, reg_stats = scorer_setup
+    cfg = (1, (1, 2), 1)
+    model = SSN(num_class=K, base_model="TinyConv", dropout=0.0, stpp_cfg=cfg)
+    variables = model.init({"params": jax.random.PRNGKey(2)},
+                           jnp.zeros((1, 9, 32, 32, 3)), jnp.ones((1, 2)),
+                           train=False)
+    act, comp, reg = model.apply(variables, jnp.zeros((2, 9, 32, 32, 3)),
+                                 jnp.ones((2, 2)), train=False)
+    assert comp.shape == (2, K)
+
+    scorer = ProposalScorer(model, variables["params"],
+                            variables.get("batch_stats"), spec,
+                            reg_stats=reg_stats, stpp_cfg=cfg,
+                            test_crops=10, chunk_frames=8)
+    assert scorer.layout.feat_multiplier == 5
+    out = scorer.score_video(ds.get_test_sample(0), provider)
+    assert out.act_scores.shape[1] == K + 1
+    assert np.isfinite(out.comp_scores).all()
