@@ -28,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_root", default="", type=str)
     parser.add_argument("--prop_file_dir", default="data", type=str)
     parser.add_argument("--synthetic_data", action="store_true")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8-quantize the backbone (BNInception), with "
+                             "activation scales calibrated on the first video")
     return parser
 
 
@@ -77,6 +80,18 @@ def main(argv=None):
                 else args.flow_pref + "{}_{:05d}.jpg")
         provider = DirectoryFrameProvider(args.data_root, tmpl, args.modality)
 
+    calibration_frames = None
+    if args.int8:
+        # calibrate activation scales on frames of the first test video
+        from ..data.pipeline import iter_test_frame_batches, make_test_transform
+
+        s0 = dataset.get_test_sample(0)
+        transform = make_test_transform(spec.input_size, spec.scale_size,
+                                        args.test_crops)
+        calibration_frames = next(iter_test_frame_batches(
+            provider, s0.video_id, s0.frame_ticks, s0.num_frames, transform,
+            new_length=model.resolved_new_length, batch_ticks=8))
+
     def scorer_factory(device):
         return ProposalScorer(model, params, batch_stats, spec,
                               reg_stats=reg_stats, num_class=cfg.num_class,
@@ -84,7 +99,9 @@ def main(argv=None):
                               chunk_frames=args.test_batchsize,
                               modality=args.modality,
                               device=device,
-                              with_regression=not args.no_regression)
+                              with_regression=not args.no_regression,
+                              quantize=args.int8,
+                              calibration_frames=calibration_frames)
 
     n = len(dataset.video_list)
     if args.max_num > 0:
