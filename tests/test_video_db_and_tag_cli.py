@@ -137,3 +137,22 @@ def test_tag_pipeline_end_to_end(tmp_path, monkeypatch):
     assert len(ds.video_list) >= 1
     sample = ds.get_training_sample(0, np.random.RandomState(0))
     assert sample.frame_indices.shape == (8, 9)
+
+
+def test_sliding_window_cli(tmp_path, monkeypatch):
+    """gen_sliding_window_proposals: DB -> exponential windows -> list file."""
+    data_dir, frames = make_thumos_fixture(tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    from action_detection_tpu.cli.gen_sliding_window_proposals import main as sw_main
+    sw_main(["validation", "rgb", str(frames), "sw_list.txt",
+             "--dataset", "thumos14", "--data_dir", str(data_dir),
+             "--max_level", "6"])
+
+    from action_detection_tpu.data.proposal_io import load_proposal_file
+    parsed = load_proposal_file("sw_list.txt")
+    assert len(parsed) == 2
+    vid, n_frame, gt, props = parsed[0]
+    assert n_frame == 120 and len(props) > 20
+    # some windows overlap GT and are labeled fg
+    assert any(int(p[0]) > 0 for p in props)
