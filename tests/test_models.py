@@ -163,7 +163,8 @@ def test_inception_v3_shapes():
     backbone, feat_dim, spec = get_backbone("InceptionV3", "RGB")
     assert feat_dim == 2048
     assert spec.input_size == 299 and spec.scale_size == 341
-    x = jnp.zeros((1, 299, 299, 3))
+    # 75 is the smallest valid input (stride stack); keeps CPU compile fast
+    x = jnp.zeros((1, 75, 75, 3))
     variables = backbone.init(jax.random.PRNGKey(0), x)
     feats = backbone.apply(variables, x)
     assert feats.shape == (1, 2048)
