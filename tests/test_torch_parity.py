@@ -205,3 +205,177 @@ def test_resnet18_matches_torch_twin():
         theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     assert ours.shape == theirs.shape == (2, 512)
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+def build_torch_inception_v3(in_channels: int = 3):
+    """Inception V3 twin with TF-slim module naming matching our converter."""
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class BasicConv2d(nn.Module):
+        def __init__(self, cin, cout, k, stride=1, pad=0):
+            super().__init__()
+            self.conv = nn.Conv2d(cin, cout, k, stride, pad, bias=False)
+            self.bn = nn.BatchNorm2d(cout, eps=1e-3)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv(x)))
+
+    def avg3(x):
+        return F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+
+    class MixedA(nn.Module):
+        def __init__(self, cin, pool_features):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 64, 1)
+            self.branch5x5_1 = BasicConv2d(cin, 48, 1)
+            self.branch5x5_2 = BasicConv2d(48, 64, 5, pad=2)
+            self.branch3x3dbl_1 = BasicConv2d(cin, 64, 1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, 3, pad=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, 3, pad=1)
+            self.branch_pool = BasicConv2d(cin, pool_features, 1)
+
+        def forward(self, x):
+            return torch.cat([
+                self.branch1x1(x),
+                self.branch5x5_2(self.branch5x5_1(x)),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                self.branch_pool(avg3(x))], 1)
+
+    class MixedB(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch3x3 = BasicConv2d(cin, 384, 3, stride=2)
+            self.branch3x3dbl_1 = BasicConv2d(cin, 64, 1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, 3, pad=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, 3, stride=2)
+
+        def forward(self, x):
+            return torch.cat([
+                self.branch3x3(x),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                F.max_pool2d(x, 3, 2)], 1)
+
+    class MixedC(nn.Module):
+        def __init__(self, cin, c7):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 192, 1)
+            self.branch7x7_1 = BasicConv2d(cin, c7, 1)
+            self.branch7x7_2 = BasicConv2d(c7, c7, (1, 7), pad=(0, 3))
+            self.branch7x7_3 = BasicConv2d(c7, 192, (7, 1), pad=(3, 0))
+            self.branch7x7dbl_1 = BasicConv2d(cin, c7, 1)
+            self.branch7x7dbl_2 = BasicConv2d(c7, c7, (7, 1), pad=(3, 0))
+            self.branch7x7dbl_3 = BasicConv2d(c7, c7, (1, 7), pad=(0, 3))
+            self.branch7x7dbl_4 = BasicConv2d(c7, c7, (7, 1), pad=(3, 0))
+            self.branch7x7dbl_5 = BasicConv2d(c7, 192, (1, 7), pad=(0, 3))
+            self.branch_pool = BasicConv2d(cin, 192, 1)
+
+        def forward(self, x):
+            b1 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+            b2 = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+                self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+            return torch.cat([self.branch1x1(x), b1, b2,
+                              self.branch_pool(avg3(x))], 1)
+
+    class MixedD(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch3x3_1 = BasicConv2d(cin, 192, 1)
+            self.branch3x3_2 = BasicConv2d(192, 320, 3, stride=2)
+            self.branch7x7x3_1 = BasicConv2d(cin, 192, 1)
+            self.branch7x7x3_2 = BasicConv2d(192, 192, (1, 7), pad=(0, 3))
+            self.branch7x7x3_3 = BasicConv2d(192, 192, (7, 1), pad=(3, 0))
+            self.branch7x7x3_4 = BasicConv2d(192, 192, 3, stride=2)
+
+        def forward(self, x):
+            return torch.cat([
+                self.branch3x3_2(self.branch3x3_1(x)),
+                self.branch7x7x3_4(self.branch7x7x3_3(
+                    self.branch7x7x3_2(self.branch7x7x3_1(x)))),
+                F.max_pool2d(x, 3, 2)], 1)
+
+    class MixedE(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 320, 1)
+            self.branch3x3_1 = BasicConv2d(cin, 384, 1)
+            self.branch3x3_2a = BasicConv2d(384, 384, (1, 3), pad=(0, 1))
+            self.branch3x3_2b = BasicConv2d(384, 384, (3, 1), pad=(1, 0))
+            self.branch3x3dbl_1 = BasicConv2d(cin, 448, 1)
+            self.branch3x3dbl_2 = BasicConv2d(448, 384, 3, pad=1)
+            self.branch3x3dbl_3a = BasicConv2d(384, 384, (1, 3), pad=(0, 1))
+            self.branch3x3dbl_3b = BasicConv2d(384, 384, (3, 1), pad=(1, 0))
+            self.branch_pool = BasicConv2d(cin, 192, 1)
+
+        def forward(self, x):
+            b1 = self.branch3x3_1(x)
+            b1 = torch.cat([self.branch3x3_2a(b1), self.branch3x3_2b(b1)], 1)
+            b2 = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+            b2 = torch.cat([self.branch3x3dbl_3a(b2), self.branch3x3dbl_3b(b2)], 1)
+            return torch.cat([self.branch1x1(x), b1, b2,
+                              self.branch_pool(avg3(x))], 1)
+
+    class TorchIV3(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.Conv2d_1a_3x3 = BasicConv2d(in_channels, 32, 3, stride=2)
+            self.Conv2d_2a_3x3 = BasicConv2d(32, 32, 3)
+            self.Conv2d_2b_3x3 = BasicConv2d(32, 64, 3, pad=1)
+            self.Conv2d_3b_1x1 = BasicConv2d(64, 80, 1)
+            self.Conv2d_4a_3x3 = BasicConv2d(80, 192, 3)
+            self.Mixed_5b = MixedA(192, 32)
+            self.Mixed_5c = MixedA(256, 64)
+            self.Mixed_5d = MixedA(288, 64)
+            self.Mixed_6a = MixedB(288)
+            self.Mixed_6b = MixedC(768, 128)
+            self.Mixed_6c = MixedC(768, 160)
+            self.Mixed_6d = MixedC(768, 160)
+            self.Mixed_6e = MixedC(768, 192)
+            self.Mixed_7a = MixedD(768)
+            self.Mixed_7b = MixedE(1280)
+            self.Mixed_7c = MixedE(2048)
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            x = self.Conv2d_1a_3x3(x)
+            x = self.Conv2d_2a_3x3(x)
+            x = self.Conv2d_2b_3x3(x)
+            x = F.max_pool2d(x, 3, 2)
+            x = self.Conv2d_3b_1x1(x)
+            x = self.Conv2d_4a_3x3(x)
+            x = F.max_pool2d(x, 3, 2)
+            for m in (self.Mixed_5b, self.Mixed_5c, self.Mixed_5d,
+                      self.Mixed_6a, self.Mixed_6b, self.Mixed_6c,
+                      self.Mixed_6d, self.Mixed_6e, self.Mixed_7a,
+                      self.Mixed_7b, self.Mixed_7c):
+                x = m(x)
+            return x.mean(dim=(2, 3))
+
+    return TorchIV3()
+
+
+def test_inception_v3_matches_torch_twin():
+    torch.manual_seed(2)
+    tm = build_torch_inception_v3()
+    tm.eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.02)
+                m.running_var.uniform_(0.9, 1.4)
+                m.weight.normal_(1.0, 0.02)
+                m.bias.normal_(0, 0.02)
+
+    params, batch_stats = convert_torch_backbone_state(tm.state_dict(),
+                                                       "InceptionV3")
+    backbone, _, _ = get_backbone("InceptionV3", "RGB")
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 75, 75, 3).astype(np.float32)
+    ours = np.asarray(backbone.apply({"params": params,
+                                      "batch_stats": batch_stats},
+                                     jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    assert ours.shape == theirs.shape == (1, 2048)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
