@@ -27,6 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_root", default="", type=str)
     parser.add_argument("--prop_file_dir", default="data", type=str)
     parser.add_argument("--synthetic_data", action="store_true")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8-quantize the backbone (BNInception)")
     return parser
 
 
@@ -35,6 +37,7 @@ def main(argv=None):
     import os
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from ..config import get_actionness_configs
@@ -79,9 +82,35 @@ def main(argv=None):
     transform = make_test_transform(spec.input_size, spec.scale_size,
                                     args.test_crops)
 
+    quantized = act_scales = None
+    if args.int8:
+        from ..models.backbones.bn_inception_int8 import (
+            bninception_int8_features, calibrate_activation_scales,
+            quantize_backbone)
+
+        quantized = quantize_backbone(ck["params"]["backbone"],
+                                      (ck["batch_stats"] or {}).get("backbone", {}))
+        s0 = dataset.get_test_sample(0)
+        calib = next(iter_test_frame_batches(
+            provider, s0.video_id, s0.frame_ticks, s0.num_frames, transform,
+            new_length=new_length, batch_ticks=4))
+        act_scales = calibrate_activation_scales(
+            quantized, preprocess_frames(jnp.asarray(calib), spec,
+                                         args.modality, new_length))
+
     @jax.jit
     def score_chunk(frames_u8):
         x = preprocess_frames(frames_u8, spec, args.modality, new_length)
+        if quantized is not None:
+            from ..models.backbones.bn_inception_int8 import (
+                bninception_int8_features)
+
+            feats = bninception_int8_features(quantized, x,
+                                              act_scales=act_scales)
+            k = ck["params"]["classifier_fc"]["kernel"]
+            b = ck["params"]["classifier_fc"]["bias"]
+            return jnp.matmul(feats, k,
+                              precision=jax.lax.Precision.HIGHEST) + b
         return model.apply(variables, x, method=BinaryClassifier.score_frames)
 
     n = len(dataset.video_list)
