@@ -55,6 +55,9 @@ def build_train_parser(description: str) -> argparse.ArgumentParser:
                         help="write a JAX profiler trace of a few train steps")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 backbone compute (params stay f32)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize backbone activations in backward "
+                             "(fits larger batches per chip)")
     # multi-host (DCN) data-parallel training
     parser.add_argument("--coordinator_address", default=None, type=str,
                         help="host:port of process 0 (jax.distributed)")

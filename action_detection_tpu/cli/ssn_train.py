@@ -49,7 +49,8 @@ def main(argv=None):
                 ending_segment=args.num_aug_segments,
                 modality=args.modality, base_model=args.arch,
                 dropout=args.dropout, stpp_cfg=stpp_cfg, bn_mode=args.bn_mode,
-                dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+                dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                remat=args.remat)
     _, _, spec = get_backbone(args.arch, args.modality)
     new_length = model.resolved_new_length
 

@@ -29,7 +29,8 @@ class InputSpec:
 
 
 def get_backbone(name: str, modality: str = "RGB", new_length: Optional[int] = None,
-                 bn_mode: str = "frozen", dtype: Any = jnp.float32):
+                 bn_mode: str = "frozen", dtype: Any = jnp.float32,
+                 remat: bool = False):
     """Build a backbone module + its feature dim + input spec.
 
     Args:
@@ -50,8 +51,15 @@ def get_backbone(name: str, modality: str = "RGB", new_length: Optional[int] = N
     else:
         raise ValueError(f"unknown modality {modality}")
 
+    def maybe_remat(cls):
+        # remat is applied at the call site (models/ssn.py) via a
+        # function-target nn.remat so `train` stays a static closure value;
+        # the `remat` flag here is accepted for API symmetry only
+        return cls
+
     if name == "BNInception":
-        module = BNInception(in_channels=in_channels, bn_mode=bn_mode, dtype=dtype)
+        module = maybe_remat(BNInception)(in_channels=in_channels,
+                                          bn_mode=bn_mode, dtype=dtype)
         feature_dim = BNINCEPTION_DIM
         if modality == "Flow":
             spec = InputSpec(224, (128.0,), (1.0,), bgr=False, div255=False)
@@ -64,7 +72,8 @@ def get_backbone(name: str, modality: str = "RGB", new_length: Optional[int] = N
         # trivially small compile
         from .tiny import TinyConv, FEATURE_DIM as TINY_DIM
 
-        module = TinyConv(in_channels=in_channels, bn_mode=bn_mode, dtype=dtype)
+        module = maybe_remat(TinyConv)(in_channels=in_channels,
+                                       bn_mode=bn_mode, dtype=dtype)
         spec = InputSpec(32, (104.0, 117.0, 128.0) if modality != "Flow" else (128.0,),
                          (1.0,), bgr=(modality != "Flow"), div255=False)
         return module, TINY_DIM, spec
@@ -74,8 +83,8 @@ def get_backbone(name: str, modality: str = "RGB", new_length: Optional[int] = N
 
         if name not in _STAGES:
             raise ValueError(f"Unknown base model: {name}")
-        module = ResNet(arch=name, in_channels=in_channels, bn_mode=bn_mode,
-                        dtype=dtype)
+        module = maybe_remat(ResNet)(arch=name, in_channels=in_channels,
+                                     bn_mode=bn_mode, dtype=dtype)
         if modality == "Flow":
             # torchvision-style stats (ssn_models.py:115-117)
             spec = InputSpec(224, (0.5,), (0.226,), bgr=False, div255=True)
@@ -87,7 +96,8 @@ def get_backbone(name: str, modality: str = "RGB", new_length: Optional[int] = N
     if name == "InceptionV3":
         from .inception_v3 import InceptionV3, FEATURE_DIM as IV3_DIM
 
-        module = InceptionV3(in_channels=in_channels, bn_mode=bn_mode, dtype=dtype)
+        module = maybe_remat(InceptionV3)(in_channels=in_channels,
+                                          bn_mode=bn_mode, dtype=dtype)
         if modality == "Flow":
             spec = InputSpec(299, (128.0,), (1.0,), bgr=False, div255=False)
         else:

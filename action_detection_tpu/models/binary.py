@@ -41,7 +41,7 @@ class BinaryClassifier(nn.Module):
         self.head_dropout = nn.Dropout(rate=self.dropout, name="head_dropout")
 
     def features(self, frames: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        feats = self.backbone(frames, train=train)
+        feats = self.backbone(frames, train)
         if self.dropout > 0:
             feats = self.head_dropout(feats, deterministic=not train)
         return feats

@@ -39,6 +39,9 @@ class SSN(nn.Module):
     stpp_cfg: Tuple = (1, 1, 1)
     bn_mode: str = "frozen"
     dtype: Any = jnp.float32
+    # rematerialize backbone activations in the backward pass (memory for
+    # large training batches; SURVEY §7 "jax.checkpoint to trade FLOPs")
+    remat: bool = False
     # standalone activity classifier: activity head sees the plain course
     # mean, not the pyramid (reference always passes True, ssn_models.py:76)
     standalone_classifier: bool = True
@@ -63,7 +66,7 @@ class SSN(nn.Module):
         self.stpp = StppConfig.from_raw(self.stpp_cfg)
         backbone, feature_dim, _ = get_backbone(
             self.base_model, self.modality, self.new_length,
-            bn_mode=self.bn_mode, dtype=self.dtype)
+            bn_mode=self.bn_mode, dtype=self.dtype, remat=self.remat)
         self.backbone = backbone
         self.feature_dim = feature_dim
 
@@ -86,7 +89,12 @@ class SSN(nn.Module):
 
         frames: ``(N, H, W, C)`` normalized inputs; returns ``(N, D)``.
         """
-        feats = self.backbone(frames, train=train)
+        if self.remat:
+            # function-target remat: `train` is closed over (static), only
+            # activations of the backbone are rematerialized in backward
+            feats = nn.remat(lambda mdl, x: mdl(x, train))(self.backbone, frames)
+        else:
+            feats = self.backbone(frames, train)
         det = (not train) if deterministic is None else deterministic
         if self.dropout > 0:
             feats = self.head_dropout(feats, deterministic=det)

@@ -167,3 +167,25 @@ def test_orbax_checkpoint_roundtrip(tmp_path, setup):
     np.testing.assert_allclose(
         np.asarray(ck["params"]["activity_fc"]["kernel"]),
         np.asarray(state.params["activity_fc"]["kernel"]))
+
+
+def test_remat_training_matches_no_remat(setup):
+    """remat=True must give identical losses/grads (only memory differs)."""
+    ds, sampling, provider, aug, model, spec, batch = setup
+    model_r = SSN(num_class=3, base_model="TinyConv", dropout=0.0, remat=True)
+    tx = make_optimizer(base_lr=0.001, lr_steps=[100], steps_per_epoch=1,
+                        weight_decay=0.0)
+    state = create_train_state(model, tx, batch, spec)
+    state_r = create_train_state(model_r, tx, batch, spec)
+    # same seed -> identical params
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     state.params, state_r.params)
+    assert max(jax.tree.leaves(d)) == 0.0
+
+    step = make_train_step(model, tx, sampling, spec, donate=False)
+    step_r = make_train_step(model_r, tx, sampling, spec, donate=False)
+    dev_batch = jax.tree.map(jnp.asarray, batch)
+    key = jax.random.PRNGKey(0)
+    _, m1 = step(state, dev_batch, key)
+    _, m2 = step_r(state_r, dev_batch, key)
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
