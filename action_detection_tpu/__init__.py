@@ -25,4 +25,7 @@ Package layout:
   cli/       command-line entry points mirroring the reference scripts
 """
 
+from .config import (get_configs, get_actionness_configs,
+                     get_reference_model_url, DatasetConfig, SamplingConfig)
+
 __version__ = "0.1.0"
