@@ -49,3 +49,32 @@ def test_aggregation_functions():
 
     fused = default_fusion_func(raw, [raw], [1.0], norm=False)
     np.testing.assert_allclose(fused, raw * 2)
+
+
+def test_classification_metrics():
+    from action_detection_tpu.ops.metrics import (
+        top_k_accuracy, video_mean_ap, mean_class_accuracy, top_k_acc)
+
+    class Inst:
+        def __init__(self, lb):
+            self.num_label = lb
+
+    class Vid:
+        def __init__(self, vid, labels):
+            self.id = vid
+            self.instances = [Inst(l) for l in labels]
+
+    videos = [Vid("a", [0]), Vid("b", [1]), Vid("c", [2])]
+    scores = {"a": np.array([0.9, 0.05, 0.05]),
+              "b": np.array([0.1, 0.8, 0.1]),
+              "c": np.array([0.6, 0.3, 0.1])}   # c wrong at top-1
+    assert abs(top_k_accuracy(scores, videos, 1) - 2 / 3) < 1e-9
+    assert top_k_accuracy(scores, videos, 3) == 1.0
+    assert top_k_acc({0, 2}, scores["a"], k=2) == (2, 2)
+
+    ap = video_mean_ap(scores, videos)
+    assert 0.0 < ap <= 1.0
+
+    acc = mean_class_accuracy(np.array([[0.9, 0.1], [0.2, 0.8], [0.6, 0.4]]),
+                              np.array([0, 1, 1]))
+    assert abs(acc - 0.75) < 1e-9
