@@ -138,6 +138,33 @@ def bninception_int8_features(q: QuantizedParams, x: jnp.ndarray,
     return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
 
+def quantization_report(backbone, variables, frames,
+                        fused_kernel=None, fused_bias=None) -> Dict[str, float]:
+    """Quantify int8-vs-float divergence on real inputs.
+
+    Run this with a *converted reference checkpoint* before enabling
+    ``--int8`` in production: it reports feature-level cosine similarity and
+    relative RMS, and (when the fused test FC is given) fused-score relative
+    RMS — the quantity that actually moves mAP.
+    """
+    q = quantize_backbone(variables["params"], variables.get("batch_stats", {}))
+    scales = calibrate_activation_scales(q, frames)
+    ref = np.asarray(backbone.apply(variables, frames)).astype(np.float64)
+    got = np.asarray(bninception_int8_features(q, frames,
+                                               act_scales=scales)).astype(np.float64)
+    cos = float(np.mean([
+        np.dot(r, g) / (np.linalg.norm(r) * np.linalg.norm(g) + 1e-12)
+        for r, g in zip(ref, got)]))
+    rel = float(np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-12))
+    report = {"feature_cosine": cos, "feature_rel_rms": rel}
+    if fused_kernel is not None:
+        sref = ref @ np.asarray(fused_kernel) + np.asarray(fused_bias)
+        sgot = got @ np.asarray(fused_kernel) + np.asarray(fused_bias)
+        report["score_rel_rms"] = float(
+            np.linalg.norm(sgot - sref) / (np.linalg.norm(sref) + 1e-12))
+    return report
+
+
 def calibrate_activation_scales(q: QuantizedParams,
                                 sample_frames: jnp.ndarray) -> Dict[str, Any]:
     """One calibration pass recording each conv's input max -> static scales.

@@ -137,3 +137,20 @@ def test_int8_scorer_end_to_end(backbone_setup):
                                            spec.div255)
         out = scorer.score_video(ds.get_test_sample(0), provider)
         assert np.isfinite(out.act_scores).all()
+
+
+def test_quantization_report(backbone_setup):
+    from action_detection_tpu.models.backbones.bn_inception_int8 import (
+        quantization_report)
+
+    backbone, variables = backbone_setup
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 255.0 - 117.0)
+    fk = rng.randn(1024, 61).astype(np.float32) * 0.01
+    fb = np.zeros(61, np.float32)
+    rep = quantization_report(backbone, variables, x, fused_kernel=fk,
+                              fused_bias=fb)
+    assert set(rep) == {"feature_cosine", "feature_rel_rms", "score_rel_rms"}
+    assert rep["feature_cosine"] > 0.99
+    assert rep["feature_rel_rms"] < 0.1
+    assert np.isfinite(rep["score_rel_rms"])
