@@ -45,7 +45,7 @@ def test_bninception_flow_channels():
 def test_ssn_forward_shapes_and_dropout_rng():
     K = 5
     model = SSN(num_class=K, dropout=0.5)
-    P, S, H = 4, 9, 64
+    P, S, H = 2, 9, 32
     frames = jnp.asarray(np.random.RandomState(0).randn(P, S, H, H, 3),
                          dtype=jnp.float32)
     scaling = jnp.ones((P, 2), dtype=jnp.float32)
@@ -64,7 +64,7 @@ def test_ssn_forward_shapes_and_dropout_rng():
 
 def test_binary_classifier_shapes():
     model = BinaryClassifier(course_segment=5, dropout=0.0)
-    P, S, H = 3, 5, 64
+    P, S, H = 2, 5, 32
     frames = jnp.zeros((P, S, H, H, 3))
     variables = model.init(jax.random.PRNGKey(0), frames, train=False)
     logits = model.apply(variables, frames, train=False)
