@@ -42,7 +42,8 @@ def main(argv=None):
 
     cfg = get_configs(args.dataset)
     num_class = cfg.num_class
-    nms_threshold = args.nms_threshold or cfg.evaluation.nms_threshold
+    nms_threshold = (args.nms_threshold if args.nms_threshold is not None
+                     else cfg.evaluation.nms_threshold)
     top_k = args.top_k if args.top_k is not None else cfg.evaluation.top_k
     softmax_bf = (args.softmax_before_filter
                   or cfg.evaluation.softmax_before_filter)

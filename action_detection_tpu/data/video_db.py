@@ -8,102 +8,62 @@ frame-folder path attachment.
 
 from __future__ import annotations
 
+import dataclasses
 import glob
 import json
 import os
 from collections import OrderedDict
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 
+@dataclasses.dataclass
 class Instance:
-    """One annotated activity instance inside a video."""
+    """One annotated activity instance inside a video.
 
-    def __init__(self, idx, anno, vid_id, vid_info, name_num_mapping):
-        self._starting, self._ending = anno["segment"][0], anno["segment"][1]
-        self._str_label = anno["label"]
-        self._total_duration = vid_info["duration"]
-        self._idx = idx
-        self._vid_id = vid_id
-        self._file_path = None
-        self._num_label = (name_num_mapping[self._str_label]
-                           if name_num_mapping else None)
+    Plain record: a string class label (plus its numeric id under the DB's
+    alphabetical taxonomy), a ``[start, end]`` time span in seconds, and the
+    duration of the containing video for coverage math.
+    """
 
-    @property
-    def time_span(self):
-        return self._starting, self._ending
+    label: str
+    start: float
+    end: float
+    video_duration: float
+    num_label: Optional[int] = None
 
     @property
-    def covering_ratio(self):
-        return (self._starting / float(self._total_duration),
-                self._ending / float(self._total_duration))
+    def time_span(self) -> Tuple[float, float]:
+        return self.start, self.end
 
     @property
-    def num_label(self):
-        return self._num_label
-
-    @property
-    def label(self):
-        return self._str_label
-
-    @property
-    def name(self):
-        return f"{self._vid_id}_{self._idx}"
-
-    @property
-    def path(self):
-        if self._file_path is None:
-            raise ValueError("This instance is not associated to a file on disk")
-        return self._file_path
-
-    @path.setter
-    def path(self, path):
-        self._file_path = path
+    def covering_ratio(self) -> Tuple[float, float]:
+        return (self.start / float(self.video_duration),
+                self.end / float(self.video_duration))
 
 
+@dataclasses.dataclass
 class Video:
-    """One video with its annotations."""
+    """One video with its annotations and (optionally) its frame folder."""
 
-    def __init__(self, key, info, name_idx_mapping=None):
-        self._id = key
-        self._info_dict = info
-        self._instances = [Instance(i, x, self._id, self._info_dict,
-                                    name_idx_mapping)
-                           for i, x in enumerate(self._info_dict["annotations"])]
-        self._file_path = None
+    id: str
+    duration: float
+    subset: str
+    instances: List[Instance] = dataclasses.field(default_factory=list)
+    url: Optional[str] = None
+    path: Optional[str] = None
 
-    @property
-    def id(self):
-        return self._id
 
-    @property
-    def url(self):
-        return self._info_dict["url"]
-
-    @property
-    def instances(self):
-        return self._instances
-
-    @property
-    def instance(self):
-        return self._instances
-
-    @property
-    def duration(self):
-        return self._info_dict["duration"]
-
-    @property
-    def subset(self):
-        return self._info_dict["subset"]
-
-    @property
-    def path(self):
-        if self._file_path is None:
-            raise ValueError("This video is not associated to a file on disk")
-        return self._file_path
-
-    @path.setter
-    def path(self, path):
-        self._file_path = path
+def _make_video(key: str, duration: float, subset: str, annotations,
+                name_idx_mapping, url=None) -> Video:
+    """Build a Video from ``{label, segment}`` annotation dicts."""
+    instances = [
+        Instance(label=a["label"], start=a["segment"][0], end=a["segment"][1],
+                 video_duration=duration,
+                 num_label=(name_idx_mapping[a["label"]]
+                            if name_idx_mapping else None))
+        for a in annotations]
+    return Video(id=key, duration=duration, subset=subset,
+                 instances=instances, url=url)
 
 
 class ANetDB:
@@ -119,8 +79,11 @@ class ANetDB:
         self.version = raw["version"]
         self._parse_taxonomy(raw["taxonomy"])
         self._database = raw["database"]
-        self._video_dict = {k: Video(k, v, self._name_idx_table)
-                            for k, v in self._database.items()}
+        self._video_dict = {
+            k: _make_video(k, float(v["duration"]), v["subset"],
+                           v["annotations"], self._name_idx_table,
+                           url=v.get("url"))
+            for k, v in self._database.items()}
         self._subsets: Dict[str, "OrderedDict[str, Video]"] = {}
         for subset in ("training", "validation", "testing"):
             self._subsets[subset] = OrderedDict(
@@ -234,15 +197,11 @@ class THUMOSDB:
         video_info, annotation_table, _ = info
         out = {}
         for name, duration in video_info:
-            info_dict = {
-                "duration": float(duration),
-                "subset": subset,
-                "url": None,
-                "annotations": [{"label": item[0], "segment": (item[1], item[2])}
-                                for item in annotation_table[name]
-                                if item[0] not in self.ignore_labels],
-            }
-            out[name] = Video(name, info_dict, self._name_idx_table)
+            annotations = [{"label": item[0], "segment": (item[1], item[2])}
+                           for item in annotation_table[name]
+                           if item[0] not in self.ignore_labels]
+            out[name] = _make_video(name, float(duration), subset, annotations,
+                                    self._name_idx_table)
         return out
 
     def get_subset_videos(self, subset_name: str) -> List[Video]:
