@@ -79,18 +79,27 @@ def get_backbone(name: str, modality: str = "RGB", new_length: Optional[int] = N
         return module, TINY_DIM, spec
 
     if name.startswith("resnet") or name.startswith("vgg"):
+        # torchvision-style stats shared by both families (ssn_models.py:108-117)
+        if modality == "Flow":
+            spec = InputSpec(224, (0.5,), (0.226,), bgr=False, div255=True)
+        else:
+            spec = InputSpec(224, (0.485, 0.456, 0.406), (0.229, 0.224, 0.225),
+                             bgr=False, div255=True)
+
+        if name.startswith("vgg"):
+            from .vgg import VGG, FEATURE_DIM as VGG_DIM, _arch_cfg
+
+            _arch_cfg(name)  # validates the arch name
+            module = maybe_remat(VGG)(arch=name, in_channels=in_channels,
+                                      bn_mode=bn_mode, dtype=dtype)
+            return module, VGG_DIM, spec
+
         from .resnet import ResNet, _STAGES, feature_dim
 
         if name not in _STAGES:
             raise ValueError(f"Unknown base model: {name}")
         module = maybe_remat(ResNet)(arch=name, in_channels=in_channels,
                                      bn_mode=bn_mode, dtype=dtype)
-        if modality == "Flow":
-            # torchvision-style stats (ssn_models.py:115-117)
-            spec = InputSpec(224, (0.5,), (0.226,), bgr=False, div255=True)
-        else:
-            spec = InputSpec(224, (0.485, 0.456, 0.406), (0.229, 0.224, 0.225),
-                             bgr=False, div255=True)
         return module, feature_dim(name), spec
 
     if name == "InceptionV3":

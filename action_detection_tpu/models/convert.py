@@ -55,6 +55,13 @@ def _nest_path(layer: str, arch: str):
         if parts[-1] in ("conv", "bn"):
             parts = parts[:-2] + [f"{parts[-2]}_{parts[-1]}"]
         return tuple(parts)
+    if arch.startswith("vgg"):
+        from .backbones.vgg import torch_scope_map
+
+        scope = torch_scope_map(arch).get(layer)
+        if scope is None:
+            return None  # classifier.6 (the 1000-way layer SSN replaces)
+        return (scope,)
     if arch.startswith("resnet") and "." in layer:
         parts = layer.split(".")
         out = []
@@ -97,6 +104,8 @@ def convert_torch_backbone_state(state_dict: Dict[str, Any],
         arr = _to_numpy(value)
         layer, _, leaf = key.rpartition(".")
         path = _nest_path(layer, arch)
+        if path is None:
+            continue  # layer deliberately not mapped (e.g. vgg classifier.6)
         is_bn = layer.endswith("_bn") or layer.endswith("bn")
         if leaf == "weight":
             if arr.ndim == 4:       # conv OIHW -> HWIO

@@ -29,8 +29,8 @@ GROUPS = ("first_conv_weight", "first_conv_bias", "normal_weight",
           "normal_bias", "bn_frozen")
 
 # the first convolution of each supported backbone (cross-modality finetuning
-# gives it its own lr/decay multipliers): BNInception, InceptionV3, ResNet
-FIRST_CONV_NAMES = ("conv1_7x7_s2", "Conv2d_1a_3x3_conv", "conv1")
+# gives it its own lr/decay multipliers): BNInception, InceptionV3, ResNet, VGG
+FIRST_CONV_NAMES = ("conv1_7x7_s2", "Conv2d_1a_3x3_conv", "conv1", "features_0")
 
 
 def label_params(params) -> dict:

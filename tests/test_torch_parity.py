@@ -379,3 +379,68 @@ def test_inception_v3_matches_torch_twin():
         theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     assert ours.shape == theirs.shape == (1, 2048)
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+def build_torch_vgg(arch: str, in_channels: int = 3):
+    """Torchvision-layout VGG twin (features Sequential indices + classifier
+    minus the final 1000-way layer)."""
+    import torch.nn as nn
+
+    from action_detection_tpu.models.backbones.vgg import _arch_cfg
+
+    cfg, with_bn = _arch_cfg(arch)
+    layers = []
+    cin = in_channels
+    for v in cfg:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers.append(nn.Conv2d(cin, v, 3, padding=1))
+            if with_bn:
+                layers.append(nn.BatchNorm2d(v, eps=1e-5))
+            layers.append(nn.ReLU())
+            cin = v
+
+    class TorchVGG(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(*layers)
+            self.classifier = nn.Sequential(
+                nn.Linear(512 * 7 * 7, 4096), nn.ReLU(), nn.Dropout(),
+                nn.Linear(4096, 4096), nn.ReLU(), nn.Dropout())
+
+        def forward(self, x):
+            x = self.features(x)
+            x = torch.flatten(x, 1)
+            return self.classifier(x)
+
+    return TorchVGG()
+
+
+@pytest.mark.parametrize("arch", ["vgg16", "vgg16_bn"])
+def test_vgg_matches_torch_twin(arch):
+    torch.manual_seed(2)
+    tm = build_torch_vgg(arch)
+    tm.eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.02)
+                m.running_var.uniform_(0.9, 1.4)
+                m.weight.normal_(1.0, 0.02)
+                m.bias.normal_(0, 0.02)
+
+    params, batch_stats = convert_torch_backbone_state(tm.state_dict(), arch)
+    backbone, feat_dim, spec = get_backbone(arch, "RGB")
+    assert feat_dim == 4096 and spec.input_size == 224
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 224, 224, 3).astype(np.float32)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    ours = np.asarray(backbone.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    assert ours.shape == theirs.shape == (2, 4096)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
