@@ -181,6 +181,37 @@ def iter_test_frame_batches(provider, video_id: str, frame_ticks: np.ndarray,
         yield seg
 
 
+def iter_scaled_frame_chunks(provider, video_id: str, frame_ticks: np.ndarray,
+                             frame_cnt: int, scale_size: int,
+                             new_length: int = 1, batch_ticks: int = 32,
+                             executor: Optional[ThreadPoolExecutor] = None
+                             ) -> Iterator[np.ndarray]:
+    """Yield uint8 arrays ``(n_ticks, H_s, W_s, C_in)`` of scale-size frames.
+
+    The device-crops inference pipeline: host only decodes + rescales (PIL
+    bilinear parity); the 10-crop oversample happens on device
+    (:func:`..transforms.device_oversample`). Per-tick decode work fans out on
+    ``executor`` (JPEG decode is the reference's known 80% of load time,
+    transforms.py:286-287 — parallel decode keeps the chip fed).
+    """
+    scale = GroupScale(scale_size)
+
+    def load_one(tick) -> np.ndarray:
+        pil = load_proposal_frames(provider, video_id, [tick], frame_cnt,
+                                   new_length)
+        return Stack()(scale(pil))              # (H_s, W_s, c_in)
+
+    n = len(frame_ticks)
+    if executor is None:
+        arrays = map(load_one, frame_ticks)
+        for lo in range(0, n, batch_ticks):
+            yield np.stack([next(arrays) for _ in range(min(batch_ticks, n - lo))])
+    else:
+        futures = [executor.submit(load_one, t) for t in frame_ticks]
+        for lo in range(0, n, batch_ticks):
+            yield np.stack([f.result() for f in futures[lo: lo + batch_ticks]])
+
+
 class PrefetchLoader:
     """Background-thread batch producer with a bounded queue (double buffering).
 

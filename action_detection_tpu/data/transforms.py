@@ -268,6 +268,41 @@ def get_train_augmentation(input_size: int, modality: str) -> Compose:
     raise ValueError(f"unknown modality {modality}")
 
 
+def device_oversample(frames, crop_size: int, modality: str = "RGB"):
+    """10-crop oversample on device (jittable): the 5 fixed offsets x flip.
+
+    Host ships ONE scale-size frame per tick instead of 10 crops — ~6-10x
+    less PCIe traffic on the dense-scoring hot path (the offsets are static
+    integer math, transforms.py:150-162 / reference transforms.py:99-132, so
+    the crops here are bit-identical to the host ``GroupOverSample`` output).
+
+    Args:
+      frames: ``(N, H, W, C)`` uint8 scale-size frames (shorter side already
+        resized to scale_size on host — PIL bilinear parity is kept there).
+      crop_size: square crop side.
+      modality: 'Flow' inverts the flow-x channels (even channel indices) of
+        flipped crops, matching ``ImageOps.invert`` on L images.
+
+    Returns:
+      ``(10*N, crop_size, crop_size, C)`` crop-major, in the reference's
+      ``GroupOverSample`` order: [o0, o0-flip, o1, o1-flip, ...].
+    """
+    import jax.numpy as jnp
+
+    _, H, W, C = frames.shape
+    groups = []
+    for o_w, o_h in fill_fix_offset(False, W, H, crop_size, crop_size):
+        crop = frames[:, o_h:o_h + crop_size, o_w:o_w + crop_size, :]
+        flip = crop[:, :, ::-1, :]
+        if modality == "Flow":
+            is_x = (jnp.arange(C) % 2 == 0)
+            flip = jnp.where(is_x[None, None, None, :],
+                             jnp.asarray(255, frames.dtype) - flip, flip)
+        groups.extend((crop, flip))
+    out = jnp.stack(groups, axis=0)          # (10, N, cs, cs, C)
+    return out.reshape((-1,) + out.shape[2:])
+
+
 def normalize_stack(frames, mean, std, bgr: bool = False, div255: bool = False,
                     channels_per_image: int = 3, dtype=None):
     """Device-side normalization of stacked uint8 frames (jittable).

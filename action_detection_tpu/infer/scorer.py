@@ -24,9 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.pipeline import iter_test_frame_batches, make_test_transform
+from ..data.pipeline import (iter_scaled_frame_chunks, iter_test_frame_batches,
+                             make_test_transform)
 from ..data.ssn_dataset import SSNDataset, TestSample
-from ..data.transforms import preprocess_frames
+from ..data.transforms import Compose, GroupScale, device_oversample, preprocess_frames
 from ..models.backbones import InputSpec
 from ..models.ssn import SSN, fuse_test_heads
 from ..ops.stpp import (ReorganizedScoreLayout, StppConfig,
@@ -70,9 +71,10 @@ class ProposalScorer:
                  modality: str = "RGB",
                  device=None,
                  with_regression: bool = True,
-                 use_pallas: Optional[bool] = None,
                  quantize: bool = False,
-                 calibration_frames: Optional[np.ndarray] = None):
+                 calibration_frames: Optional[np.ndarray] = None,
+                 device_crops: Optional[bool] = None,
+                 decode_threads: int = 8):
         self.model = model
         self.input_spec = input_spec
         self.test_crops = test_crops
@@ -82,9 +84,16 @@ class ProposalScorer:
         self.num_class = num_class or model.num_class
         self.with_regression = with_regression
         self.device = device or jax.devices()[0]
-        if use_pallas is None:
-            use_pallas = self.device.platform == "tpu"
-        self.use_pallas = use_pallas
+        # 10-crop oversample on device: host ships one scale-size frame per
+        # tick instead of 10 crops (~6-10x less PCIe on the hot path)
+        if device_crops is None:
+            device_crops = test_crops == 10
+        self.device_crops = device_crops and test_crops == 10
+        self._decode_pool = None
+        if decode_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._decode_pool = ThreadPoolExecutor(max_workers=decode_threads)
 
         kernel, bias = fuse_test_heads(params, self.num_class, stpp_cfg,
                                        with_regression=with_regression)
@@ -137,11 +146,18 @@ class ProposalScorer:
     # --- device programs ---
 
     def _score_chunk_impl(self, frames_u8, n_stacks: int):
-        """(crops*n_stacks_padded, H, W, C) uint8 -> (n_stacks_padded, D) crop-mean.
+        """uint8 frames -> (n_stacks_padded, D) crop-mean fused scores.
+
+        ``frames_u8`` is ``(crops*n_stacks, crop, crop, C)`` host-cropped, or
+        ``(n_stacks, H_scale, W_scale, C)`` when ``device_crops`` — the 10-crop
+        oversample then happens here, on device.
 
         Crops are mean-reduced on *features* before the fused FC — identical
         by linearity, and ~3% faster measured on chip (fewer FC rows).
         """
+        if self.device_crops:
+            frames_u8 = device_oversample(frames_u8, self.input_spec.input_size,
+                                          self.modality)
         x = preprocess_frames(frames_u8, self.input_spec, self.modality,
                               self.model.resolved_new_length)
         if self._quantized is not None:
@@ -157,17 +173,13 @@ class ProposalScorer:
                           precision=jax.lax.Precision.HIGHEST) + self._bias
 
     def _pool_impl(self, frame_scores, prop_ticks, prop_scaling, num_frames):
-        if self.use_pallas:
-            from ..ops.stpp_pallas import reorganized_stpp_pool_pallas
-
-            act, comp, reg = reorganized_stpp_pool_pallas(
-                frame_scores, prop_ticks, prop_scaling, self.layout,
-                self.stpp, num_frames=num_frames)
-        else:
-            act, comp, reg = reorganized_stpp_pool(frame_scores, prop_ticks,
-                                                   prop_scaling, self.layout,
-                                                   self.stpp,
-                                                   num_frames=num_frames)
+        # measured on chip (r2): the XLA cumsum+gather pool is dispatch-bound
+        # at ~20-27us for every realistic (T, P); a hand Pallas kernel lost at
+        # all sizes (26-56us) and was deleted -- the pool is ~2% of a step
+        act, comp, reg = reorganized_stpp_pool(frame_scores, prop_ticks,
+                                               prop_scaling, self.layout,
+                                               self.stpp,
+                                               num_frames=num_frames)
         if reg is not None and self.reg_stats is not None:
             reg = reg.reshape(-1, self.num_class, 2)
             stats = jnp.asarray(self.reg_stats, jnp.float32)
@@ -179,26 +191,38 @@ class ProposalScorer:
     def score_video(self, sample: TestSample, provider,
                     keep_raw: bool = False) -> ScoredVideo:
         """Score every sampled frame, pool per proposal, denormalize regression."""
-        transform = make_test_transform(self.input_spec.input_size,
-                                        self.input_spec.scale_size,
-                                        self.test_crops)
+        if self.device_crops:
+            # host only decodes+rescales (in parallel); crops are cut on device
+            chunks = iter_scaled_frame_chunks(
+                provider, sample.video_id, sample.frame_ticks,
+                sample.num_frames, self.input_spec.scale_size,
+                new_length=self.model.resolved_new_length,
+                batch_ticks=self.chunk_frames, executor=self._decode_pool)
+            host_crops = 1
+        else:
+            transform = make_test_transform(self.input_spec.input_size,
+                                            self.input_spec.scale_size,
+                                            self.test_crops)
+            chunks = iter_test_frame_batches(
+                provider, sample.video_id, sample.frame_ticks,
+                sample.num_frames, transform,
+                new_length=self.model.resolved_new_length,
+                batch_ticks=self.chunk_frames)
+            host_crops = self.test_crops
         T = len(sample.frame_ticks)
         # bucket the padded frame axis to powers of two (few compiled shapes)
         T_padded = _pow2_bucket(_round_up(max(T, 1), self.chunk_frames),
                                 lo=self.chunk_frames)
         out_chunks = []
         filled = 0
-        for chunk in iter_test_frame_batches(
-                provider, sample.video_id, sample.frame_ticks, sample.num_frames,
-                transform, new_length=self.model.resolved_new_length,
-                batch_ticks=self.chunk_frames):
-            n_stacks_real = chunk.shape[0] // self.test_crops
+        for chunk in chunks:
+            n_stacks_real = chunk.shape[0] // host_crops
             if n_stacks_real < self.chunk_frames:
                 # pad the tick axis (crop-major layout: pad per crop block)
-                c = chunk.reshape(self.test_crops, n_stacks_real, *chunk.shape[1:])
+                c = chunk.reshape(host_crops, n_stacks_real, *chunk.shape[1:])
                 pad = self.chunk_frames - n_stacks_real
                 c = np.pad(c, ((0, 0), (0, pad)) + ((0, 0),) * (c.ndim - 2))
-                chunk = c.reshape(self.test_crops * self.chunk_frames,
+                chunk = c.reshape(host_crops * self.chunk_frames,
                                   *chunk.shape[1:])
             scores = self._score_chunk(jax.device_put(chunk, self.device),
                                        n_stacks=self.chunk_frames)

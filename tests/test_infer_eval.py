@@ -249,3 +249,55 @@ def test_multipart_pyramid_scoring(scorer_setup):
     out = scorer.score_video(ds.get_test_sample(0), provider)
     assert out.act_scores.shape[1] == K + 1
     assert np.isfinite(out.comp_scores).all()
+
+
+def test_device_oversample_matches_host_groupoversample():
+    """Device 10-crop == host GroupOverSample, bit-for-bit, RGB and Flow."""
+    from PIL import Image
+
+    from action_detection_tpu.data.transforms import (
+        GroupOverSample, Stack, device_oversample)
+
+    rng = np.random.RandomState(0)
+    crop = 16
+    H, W = 24, 30
+    # --- RGB: 3 ticks ---
+    pils = [Image.fromarray(rng.randint(0, 256, (H, W, 3), dtype=np.uint8), "RGB")
+            for _ in range(3)]
+    host = Stack()(GroupOverSample(crop)(pils))     # (crop, crop, 10*3*3)
+    n_imgs = 30
+    host_arr = host.reshape(crop, crop, n_imgs, 3).transpose(2, 0, 1, 3)
+    frames = np.stack([np.asarray(p, dtype=np.uint8) for p in pils])  # (3,H,W,3)
+    dev = np.asarray(device_oversample(jnp.asarray(frames), crop))    # (30,c,c,3)
+    np.testing.assert_array_equal(dev, host_arr)
+
+    # --- Flow: 2 ticks x (x, y) planes ---
+    pils = [Image.fromarray(rng.randint(0, 256, (H, W), dtype=np.uint8), "L")
+            for _ in range(4)]  # x0 y0 x1 y1
+    host = Stack()(GroupOverSample(crop)(pils))     # (crop, crop, 10*4)
+    host_arr = host.reshape(crop, crop, 10, 2, 2)   # (c,c,crops,ticks,xy)
+    host_arr = host_arr.transpose(2, 3, 0, 1, 4)    # (crops,ticks,c,c,xy)
+    frames = np.stack([np.stack([np.asarray(pils[0]), np.asarray(pils[1])], -1),
+                       np.stack([np.asarray(pils[2]), np.asarray(pils[3])], -1)])
+    dev = np.asarray(device_oversample(jnp.asarray(frames), crop,
+                                       modality="Flow"))
+    np.testing.assert_array_equal(dev.reshape(10, 2, crop, crop, 2), host_arr)
+
+
+def test_device_crops_scorer_matches_host_crops(scorer_setup):
+    """ProposalScorer(device_crops) == host 10-crop path on the same video."""
+    ds, provider, model, spec, variables, reg_stats = scorer_setup
+    host_scorer = ProposalScorer(model, variables["params"],
+                                 variables.get("batch_stats"), spec,
+                                 reg_stats=reg_stats, test_crops=10,
+                                 chunk_frames=8, device_crops=False)
+    dev_scorer = ProposalScorer(model, variables["params"],
+                                variables.get("batch_stats"), spec,
+                                reg_stats=reg_stats, test_crops=10,
+                                chunk_frames=8, device_crops=True)
+    sample = ds.get_test_sample(1)
+    out_h = host_scorer.score_video(sample, provider)
+    out_d = dev_scorer.score_video(sample, provider)
+    np.testing.assert_allclose(out_d.act_scores, out_h.act_scores, atol=2e-5)
+    np.testing.assert_allclose(out_d.comp_scores, out_h.comp_scores, atol=2e-5)
+    np.testing.assert_allclose(out_d.reg_scores, out_h.reg_scores, atol=2e-5)
