@@ -126,6 +126,10 @@ def main(argv=None):
                        batch_stats=variables.get("batch_stats"),
                        opt_state=tx.init(variables["params"]))
 
+    from ..train.init_weights import apply_init_weights
+
+    state = apply_init_weights(state, args, cfg, load_checkpoint)
+
     @jax.jit
     def eval_step(state, batch):
         loss, _ = loss_fn(state.params, state.batch_stats, batch,

@@ -95,43 +95,9 @@ def main(argv=None):
     state = create_train_state(model, tx, init_batch, spec, seed=args.seed,
                                modality=args.modality)
 
-    if args.init_weights and os.path.isfile(args.init_weights):
-        if args.init_weights.endswith((".pth", ".pth.tar", ".pt")):
-            # reference torch backbone weights; convert, and if the first conv
-            # channel count mismatches (RGB weights for a Flow/RGBDiff model),
-            # apply the cross-modality surgery (ssn_models.py:318-343)
-            from ..models.convert import (convert_torch_backbone_state,
-                                          cross_modality_init,
-                                          load_torch_checkpoint)
+    from ..train.init_weights import apply_init_weights
 
-            raw = load_torch_checkpoint(args.init_weights)
-            sd = raw.get("state_dict", raw)
-            bk_params, bk_stats = convert_torch_backbone_state(sd, args.arch)
-            from ..train.optim import FIRST_CONV_NAMES
-
-            first_conv = next((n for n in FIRST_CONV_NAMES if n in bk_params),
-                              None)
-            if first_conv is None:
-                raise ValueError(
-                    f"could not locate the first conv among {list(bk_params)[:5]}...; "
-                    f"expected one of {FIRST_CONV_NAMES}")
-            want_c = state.params["backbone"][first_conv]["kernel"].shape[2]
-            have_c = np.asarray(bk_params[first_conv]["kernel"]).shape[2]
-            if want_c != have_c:
-                bk_params = cross_modality_init(bk_params, first_conv, want_c)
-                print(f"=> cross-modality first conv: {have_c} -> {want_c} channels")
-            new_stats = dict(state.batch_stats or {})
-            if bk_stats:
-                new_stats["backbone"] = bk_stats
-            state = state.replace(
-                params={**state.params, "backbone": bk_params},
-                batch_stats=new_stats or state.batch_stats)
-        else:
-            ck = load_checkpoint(args.init_weights)
-            state = state.replace(params={**state.params,
-                                          "backbone": ck["params"].get(
-                                              "backbone", ck["params"])})
-        print(f"=> loaded init weights from '{args.init_weights}'")
+    state = apply_init_weights(state, args, cfg, load_checkpoint)
 
     best_loss = float("inf")
     start_epoch = args.start_epoch

@@ -62,6 +62,9 @@ class DatasetConfig:
     sampling: SamplingConfig
     evaluation: EvalConfig
     stpp: Tuple[StageCfg, StageCfg, StageCfg] = (1, 1, 1)
+    # published pretrained-init URLs: flow_init[arch], kinetics_pretrain[arch][modality]
+    flow_init: dict = dataclasses.field(default_factory=dict)
+    kinetics_pretrain: dict = dataclasses.field(default_factory=dict)
 
     @property
     def iou_range(self):
@@ -89,7 +92,9 @@ def _build(name: str, raw: dict) -> DatasetConfig:
     stpp = tuple(_to_stage(s) for s in raw.get("stpp", [1, 1, 1]))
     return DatasetConfig(name=name, train_list=raw["train_list"],
                          test_list=raw["test_list"], num_class=raw["num_class"],
-                         sampling=sampling, evaluation=evaluation, stpp=stpp)
+                         sampling=sampling, evaluation=evaluation, stpp=stpp,
+                         flow_init=raw.get("flow_init", {}),
+                         kinetics_pretrain=raw.get("kinetics_pretrain", {}))
 
 
 def get_configs(dataset: str, cfg_file: Optional[str] = None) -> DatasetConfig:
@@ -106,6 +111,47 @@ def get_actionness_configs(dataset: str, cfg_file: Optional[str] = None) -> Data
     with open(path) as f:
         data = yaml.safe_load(f)
     return _build(dataset, data[dataset])
+
+
+def pretrained_cache_dir() -> str:
+    """Local cache for published pretrained checkpoints (the model_zoo cache
+    of the reference, ssn_train.py:46-57). Override with $ADT_MODEL_CACHE."""
+    return os.environ.get(
+        "ADT_MODEL_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "action_detection_tpu"))
+
+
+def resolve_pretrained_init(cfg: DatasetConfig, arch: str, modality: str,
+                            kinetics: bool = False) -> Optional[str]:
+    """Pretrained-init URL -> local cached .pth path (ssn_train.py:38-58).
+
+    Returns None when the reference would use no explicit init file (plain
+    ImageNet RGB: the torchvision/model_zoo constructor weights). Raises a
+    helpful FileNotFoundError in this zero-egress environment when the
+    checkpoint has not been placed in the cache yet.
+    """
+    if kinetics:
+        try:
+            url = cfg.kinetics_pretrain[arch][modality]
+        except KeyError:
+            raise KeyError(f"no kinetics_pretrain URL for arch={arch} "
+                           f"modality={modality} in dataset '{cfg.name}'")
+    elif modality == "Flow":
+        try:
+            url = cfg.flow_init[arch]
+        except KeyError:
+            raise KeyError(f"no flow_init URL for arch={arch} "
+                           f"in dataset '{cfg.name}'")
+    else:
+        return None
+
+    path = os.path.join(pretrained_cache_dir(), url.rsplit("/", 1)[-1])
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"pretrained init checkpoint not cached: {path}\n"
+            f"This environment has no network egress. Download\n  {url}\n"
+            f"out of band and place it at that path (or set $ADT_MODEL_CACHE).")
+    return path
 
 
 def get_reference_model_url(dataset: str, modality: str, init: str,

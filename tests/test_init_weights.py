@@ -1,0 +1,126 @@
+"""Pretrained-init wiring: URL -> cache path -> converter -> state graft
+(the reference's model_zoo.load_url flow, ssn_train.py:38-58, offline)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from action_detection_tpu.config import (SamplingConfig, get_configs,
+                                         resolve_pretrained_init)
+
+
+def test_resolver_rgb_imagenet_is_none():
+    cfg = get_configs("thumos14")
+    assert resolve_pretrained_init(cfg, "BNInception", "RGB") is None
+
+
+def test_resolver_errors_helpfully_when_uncached(monkeypatch, tmp_path):
+    monkeypatch.setenv("ADT_MODEL_CACHE", str(tmp_path))
+    cfg = get_configs("thumos14")
+    with pytest.raises(FileNotFoundError) as ei:
+        resolve_pretrained_init(cfg, "BNInception", "Flow")
+    msg = str(ei.value)
+    assert "https://" in msg and str(tmp_path) in msg and "egress" in msg
+
+
+def test_resolver_finds_cached_file(monkeypatch, tmp_path):
+    monkeypatch.setenv("ADT_MODEL_CACHE", str(tmp_path))
+    cfg = get_configs("thumos14")
+    url = cfg.kinetics_pretrain["BNInception"]["RGB"]
+    fname = url.rsplit("/", 1)[-1]
+    (tmp_path / fname).write_bytes(b"x")
+    path = resolve_pretrained_init(cfg, "BNInception", "RGB", kinetics=True)
+    assert path == str(tmp_path / fname)
+
+
+def test_resolver_unknown_arch_raises_keyerror():
+    cfg = get_configs("thumos14")
+    with pytest.raises(KeyError):
+        resolve_pretrained_init(cfg, "TinyConv", "RGB", kinetics=True)
+
+
+def test_apply_init_weights_kinetics_end_to_end(monkeypatch, tmp_path):
+    """Full flow on a TinyConv fixture: cached torch checkpoint -> converted
+    backbone grafted into the train state."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from action_detection_tpu.models import SSN
+    from action_detection_tpu.models.backbones import get_backbone
+    from action_detection_tpu.models.convert import convert_torch_backbone_state
+    from action_detection_tpu.train import (create_train_state, load_checkpoint,
+                                            make_optimizer)
+    from action_detection_tpu.train.init_weights import apply_init_weights
+    from tests.test_convert import make_torch_style_backbone_sd
+
+    monkeypatch.setenv("ADT_MODEL_CACHE", str(tmp_path))
+
+    backbone, _, spec = get_backbone("TinyConv", "RGB")
+    bvars = backbone.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in
+          make_torch_style_backbone_sd(bvars, np.random.RandomState(0)).items()}
+    url = "https://example.invalid/zoo/tinyconv_kinetics-feedc0de.pth"
+    torch.save({"state_dict": sd}, tmp_path / url.rsplit("/", 1)[-1])
+
+    cfg = dataclasses.replace(
+        get_configs("thumos14"),
+        kinetics_pretrain={"TinyConv": {"RGB": url}})
+
+    model = SSN(num_class=3, base_model="TinyConv", dropout=0.0)
+    tx = make_optimizer(1e-3, [20], steps_per_epoch=10)
+    rng = np.random.RandomState(0)
+    batch = {"frames": rng.randint(0, 256, (8, 9, 32, 32, 3)).astype(np.uint8),
+             "scaling": np.ones((8, 2), np.float32)}
+    state = create_train_state(model, tx, batch, spec)
+
+    class Args:
+        init_weights = ""
+        kinetics_pretrain = True
+        arch = "TinyConv"
+        modality = "RGB"
+
+    new_state = apply_init_weights(state, Args, cfg, load_checkpoint)
+    want, _ = convert_torch_backbone_state(sd, "TinyConv")
+    got = jax.device_get(new_state.params["backbone"])
+    np.testing.assert_allclose(got["conv1_7x7_s2"]["kernel"],
+                               want["conv1_7x7_s2"]["kernel"], atol=0)
+    np.testing.assert_allclose(
+        jax.device_get(new_state.batch_stats["backbone"])["conv1_7x7_s2_bn"]["mean"],
+        np.asarray(sd["conv1_7x7_s2_bn.running_mean"]), atol=0)
+
+
+def test_flow_without_url_falls_back_gracefully(capsys):
+    import jax
+    import jax.numpy as jnp
+
+    from action_detection_tpu.models import SSN
+    from action_detection_tpu.models.backbones import get_backbone
+    from action_detection_tpu.train import (create_train_state, load_checkpoint,
+                                            make_optimizer)
+    from action_detection_tpu.train.init_weights import apply_init_weights
+
+    _, _, spec = get_backbone("TinyConv", "Flow")
+    model = SSN(num_class=3, base_model="TinyConv", modality="Flow",
+                dropout=0.0)
+    tx = make_optimizer(1e-3, [20], steps_per_epoch=10)
+    rng = np.random.RandomState(0)
+    batch = {"frames": rng.randint(0, 256, (8, 9, 32, 32, 10)).astype(np.uint8),
+             "scaling": np.ones((8, 2), np.float32)}
+    state = create_train_state(model, tx, batch, spec, modality="Flow")
+
+    class Args:
+        init_weights = ""
+        kinetics_pretrain = False
+        arch = "TinyConv"
+        modality = "Flow"
+
+    cfg = get_configs("thumos14")
+    new_state = apply_init_weights(state, Args, cfg, load_checkpoint)
+    assert "no flow_init URL" in capsys.readouterr().out
+    np.testing.assert_allclose(
+        np.asarray(new_state.params["backbone"]["conv2_3x3"]["kernel"]),
+        np.asarray(state.params["backbone"]["conv2_3x3"]["kernel"]))
