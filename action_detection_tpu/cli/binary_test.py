@@ -98,8 +98,14 @@ def main(argv=None):
             quantized, preprocess_frames(jnp.asarray(calib), spec,
                                          args.modality, new_length))
 
+    # weights ride as jit arguments, not closure captures: embedded-constant
+    # executables degrade every later host->device transfer (see
+    # infer/scorer.py:_score_chunk_impl)
+    head = {"kernel": ck["params"]["classifier_fc"]["kernel"],
+            "bias": ck["params"]["classifier_fc"]["bias"]}
+
     @jax.jit
-    def score_chunk(frames_u8):
+    def score_chunk_impl(variables, quantized, act_scales, head, frames_u8):
         x = preprocess_frames(frames_u8, spec, args.modality, new_length)
         if quantized is not None:
             from ..models.backbones.bn_inception_int8 import (
@@ -107,11 +113,13 @@ def main(argv=None):
 
             feats = bninception_int8_features(quantized, x,
                                               act_scales=act_scales)
-            k = ck["params"]["classifier_fc"]["kernel"]
-            b = ck["params"]["classifier_fc"]["bias"]
-            return jnp.matmul(feats, k,
-                              precision=jax.lax.Precision.HIGHEST) + b
+            return jnp.matmul(feats, head["kernel"],
+                              precision=jax.lax.Precision.HIGHEST) + head["bias"]
         return model.apply(variables, x, method=BinaryClassifier.score_frames)
+
+    def score_chunk(frames_u8):
+        return score_chunk_impl(variables, quantized, act_scales, head,
+                                frames_u8)
 
     n = len(dataset.video_list)
     if args.max_num > 0:

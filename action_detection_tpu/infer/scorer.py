@@ -136,21 +136,28 @@ class ProposalScorer:
                     calibrate_activation_scales(self._quantized, sample),
                     self.device)
 
-        self._score_chunk = jax.jit(self._score_chunk_impl,
-                                    static_argnames=("n_stacks",))
+        self._score_chunk_jit = jax.jit(self._score_chunk_impl,
+                                        static_argnames=("n_stacks",))
         # num_frames is a traced device scalar and the frame axis is bucketed
         # to powers of two, so pooling compiles O(log) programs total instead
         # of one per distinct video length
-        self._pool = jax.jit(self._pool_impl)
+        self._pool_jit = jax.jit(self._pool_impl)
 
     # --- device programs ---
 
-    def _score_chunk_impl(self, frames_u8, n_stacks: int):
+    def _score_chunk_impl(self, variables, kernel, bias, quantized, act_scales,
+                          frames_u8, n_stacks: int):
         """uint8 frames -> (n_stacks_padded, D) crop-mean fused scores.
 
         ``frames_u8`` is ``(crops*n_stacks, crop, crop, C)`` host-cropped, or
         ``(n_stacks, H_scale, W_scale, C)`` when ``device_crops`` — the 10-crop
         oversample then happens here, on device.
+
+        Weights are jit ARGUMENTS, never closure captures: a closed-over
+        device array is baked into the program as an embedded constant, and
+        (measured on the axon plugin) an executable with ~25MB of embedded
+        constants degrades every subsequent host->device transfer in the
+        process from ~11ms to ~450ms.
 
         Crops are mean-reduced on *features* before the fused FC — identical
         by linearity, and ~3% faster measured on chip (fewer FC rows).
@@ -160,19 +167,25 @@ class ProposalScorer:
                                           self.modality)
         x = preprocess_frames(frames_u8, self.input_spec, self.modality,
                               self.model.resolved_new_length)
-        if self._quantized is not None:
+        if quantized is not None:
             from ..models.backbones.bn_inception_int8 import (
                 bninception_int8_features)
 
-            feats = bninception_int8_features(self._quantized, x,
-                                              act_scales=self._act_scales)
+            feats = bninception_int8_features(quantized, x,
+                                              act_scales=act_scales)
         else:
-            feats = self.model.apply(self._variables, x, method=SSN.features)
+            feats = self.model.apply(variables, x, method=SSN.features)
         feats = feats.reshape(self.test_crops, n_stacks, -1).mean(axis=0)
-        return jnp.matmul(feats, self._kernel,
-                          precision=jax.lax.Precision.HIGHEST) + self._bias
+        return jnp.matmul(feats, kernel,
+                          precision=jax.lax.Precision.HIGHEST) + bias
 
-    def _pool_impl(self, frame_scores, prop_ticks, prop_scaling, num_frames):
+    def _score_chunk(self, frames_u8, n_stacks: int):
+        return self._score_chunk_jit(self._variables, self._kernel, self._bias,
+                                     self._quantized, self._act_scales,
+                                     frames_u8, n_stacks=n_stacks)
+
+    def _pool_impl(self, frame_scores, prop_ticks, prop_scaling, num_frames,
+                   reg_stats):
         # measured on chip (r2): the XLA cumsum+gather pool is dispatch-bound
         # at ~20-27us for every realistic (T, P); a hand Pallas kernel lost at
         # all sizes (26-56us) and was deleted -- the pool is ~2% of a step
@@ -180,11 +193,16 @@ class ProposalScorer:
                                                prop_scaling, self.layout,
                                                self.stpp,
                                                num_frames=num_frames)
-        if reg is not None and self.reg_stats is not None:
+        if reg is not None and reg_stats is not None:
             reg = reg.reshape(-1, self.num_class, 2)
-            stats = jnp.asarray(self.reg_stats, jnp.float32)
-            reg = reg * stats[1] + stats[0]
+            reg = reg * reg_stats[1] + reg_stats[0]
         return act, comp, reg
+
+    def _pool(self, frame_scores, prop_ticks, prop_scaling, num_frames):
+        stats = (jnp.asarray(self.reg_stats, jnp.float32)
+                 if self.reg_stats is not None else None)
+        return self._pool_jit(frame_scores, prop_ticks, prop_scaling,
+                              num_frames, stats)
 
     # --- host orchestration ---
 
@@ -273,12 +291,16 @@ def make_sharded_frame_scorer(model: SSN, variables, kernel, bias,
     in_sharding = NamedSharding(mesh, P(DATA_AXIS))
     rep = NamedSharding(mesh, P())
 
-    def fn(frames_u8):
+    # weights as jit arguments (replicated), not closure captures — see
+    # _score_chunk_impl on embedded-constant transfer degradation
+    def fn(variables, kernel, bias, frames_u8):
         x = preprocess_frames(frames_u8, input_spec, modality,
                               model.resolved_new_length)
         return model.apply(variables, x, kernel, bias, method=SSN.score_frames)
 
-    return jax.jit(fn, in_shardings=(in_sharding,), out_shardings=rep)
+    jfn = jax.jit(fn, in_shardings=(rep, rep, rep, in_sharding),
+                  out_shardings=rep)
+    return lambda frames_u8: jfn(variables, kernel, bias, frames_u8)
 
 
 def score_videos(scorer_factory, dataset: SSNDataset, provider,

@@ -139,13 +139,16 @@ def bninception_int8_features(q: QuantizedParams, x: jnp.ndarray,
 
 
 def quantization_report(backbone, variables, frames,
-                        fused_kernel=None, fused_bias=None) -> Dict[str, float]:
+                        fused_kernel=None, fused_bias=None,
+                        layout=None) -> Dict[str, float]:
     """Quantify int8-vs-float divergence on real inputs.
 
     Run this with a *converted reference checkpoint* before enabling
     ``--int8`` in production: it reports feature-level cosine similarity and
     relative RMS, and (when the fused test FC is given) fused-score relative
-    RMS — the quantity that actually moves mAP.
+    RMS — the quantity that actually moves mAP. With ``layout``
+    (a ``ReorganizedScoreLayout``) the score error is additionally broken out
+    per head block: ``act_rel_rms`` / ``comp_rel_rms`` / ``reg_rel_rms``.
     """
     q = quantize_backbone(variables["params"], variables.get("batch_stats", {}))
     scales = calibrate_activation_scales(q, frames)
@@ -160,8 +163,18 @@ def quantization_report(backbone, variables, frames,
     if fused_kernel is not None:
         sref = ref @ np.asarray(fused_kernel) + np.asarray(fused_bias)
         sgot = got @ np.asarray(fused_kernel) + np.asarray(fused_bias)
-        report["score_rel_rms"] = float(
-            np.linalg.norm(sgot - sref) / (np.linalg.norm(sref) + 1e-12))
+
+        def rel_rms(a, b):
+            return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+
+        report["score_rel_rms"] = rel_rms(sgot, sref)
+        if layout is not None:
+            from ...ops.stpp import reorganized_score_slices
+
+            for name, sl in zip(("act", "comp", "reg"),
+                                reorganized_score_slices(layout)):
+                if sl is not None:
+                    report[f"{name}_rel_rms"] = rel_rms(sgot[:, sl], sref[:, sl])
     return report
 
 
