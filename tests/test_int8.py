@@ -154,3 +154,56 @@ def test_quantization_report(backbone_setup):
     assert rep["feature_cosine"] > 0.99
     assert rep["feature_rel_rms"] < 0.1
     assert np.isfinite(rep["score_rel_rms"])
+
+
+def test_quantization_report_on_torch_twin_weights():
+    """Int8 divergence bounds on torch-initialized converted weights with the
+    real fused test FC — the strongest pre-deployment int8 validation
+    available without the reference release checkpoints (VERDICT r1 item 4).
+    Per-head (act/comp/reg) score errors are bounded separately since the
+    combined score softmax(act)*exp(comp) is what moves mAP.
+    """
+    torch = pytest.importorskip("torch")
+
+    from action_detection_tpu.models import SSN
+    from action_detection_tpu.models.backbones.bn_inception_int8 import (
+        quantization_report)
+    from action_detection_tpu.models.convert import convert_torch_backbone_state
+    from action_detection_tpu.models.ssn import fuse_test_heads
+    from action_detection_tpu.ops.stpp import ReorganizedScoreLayout, StppConfig
+    from tests.test_torch_parity import build_torch_bninception
+
+    torch.manual_seed(3)
+    tm = build_torch_bninception()
+    tm.eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.02)
+                m.running_var.uniform_(0.9, 1.4)
+                m.weight.normal_(1.0, 0.02)
+                m.bias.normal_(0, 0.02)
+    params, batch_stats = convert_torch_backbone_state(tm.state_dict(),
+                                                       "BNInception")
+    backbone, _, _ = get_backbone("BNInception", "RGB")
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    K = 20
+    model = SSN(num_class=K, base_model="BNInception", dropout=0.0)
+    head_vars = model.init({"params": jax.random.PRNGKey(1)},
+                           jnp.zeros((1, 9, 64, 64, 3)), jnp.ones((1, 2)),
+                           train=False)
+    kernel, bias = fuse_test_heads(head_vars["params"], K, (1, 1, 1))
+    cfg = StppConfig.from_raw((1, 1, 1))
+    layout = ReorganizedScoreLayout(K + 1, K, 2 * K, cfg.feat_multiplier)
+
+    rng = np.random.RandomState(5)
+    # Caffe-normalized input range (mean-subtracted BGR uint8)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 255.0 - 117.0)
+    rep = quantization_report(backbone, variables, x,
+                              fused_kernel=np.asarray(kernel),
+                              fused_bias=np.asarray(bias), layout=layout)
+    assert rep["feature_cosine"] > 0.995, rep
+    assert rep["feature_rel_rms"] < 0.06, rep
+    for head in ("act", "comp", "reg"):
+        assert rep[f"{head}_rel_rms"] < 0.12, rep
