@@ -74,7 +74,7 @@ class ProposalScorer:
                  quantize: bool = False,
                  calibration_frames: Optional[np.ndarray] = None,
                  device_crops: Optional[bool] = None,
-                 decode_threads: int = 8):
+                 decode_threads: Optional[int] = None):
         self.model = model
         self.input_spec = input_spec
         self.test_crops = test_crops
@@ -90,6 +90,12 @@ class ProposalScorer:
             device_crops = test_crops == 10
         self.device_crops = device_crops and test_crops == 10
         self._decode_pool = None
+        if decode_threads is None:
+            # PIL releases the GIL inside libjpeg, so a few threads pay off
+            # even on one core; beyond ~2x cores they only thrash
+            import os
+
+            decode_threads = min(8, 2 * (os.cpu_count() or 1))
         if decode_threads > 1:
             from concurrent.futures import ThreadPoolExecutor
 
