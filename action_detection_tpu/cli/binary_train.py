@@ -119,8 +119,10 @@ def main(argv=None):
     init_batch = assemble([0], rng)
     x0 = preprocess_frames(jnp.asarray(init_batch["frames"][:1]), spec,
                            args.modality, new_length)
-    variables = model.init({"params": jax.random.PRNGKey(args.seed)}, x0,
-                           train=False)
+    from ..models import jitted_init
+
+    variables = jitted_init(model, {"params": jax.random.PRNGKey(args.seed)},
+                            x0, train=False)
     state = TrainState(step=jnp.zeros((), jnp.int32),
                        params=variables["params"],
                        batch_stats=variables.get("batch_stats"),

@@ -155,6 +155,9 @@ def make_train_step(model, tx, sampling: SamplingConfig, input_spec: InputSpec,
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, batch, rng, True)
+        # observability stand-in for the reference's unused grad hook
+        # (/root/reference/ops/utils.py:20-32): one fused reduction, ~free
+        metrics["grad_norm"] = optax.global_norm(grads)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
@@ -182,11 +185,13 @@ def create_train_state(model, tx, sample_batch, input_spec: InputSpec,
                        seed: int = 0,
                        modality: str = "RGB") -> TrainState:
     """Initialize params/batch_stats/optimizer from one host batch."""
+    from ..models import jitted_init
+
     frames = preprocess_frames(jnp.asarray(sample_batch["frames"][:1]),
                                input_spec, modality, model.resolved_new_length)
-    variables = model.init({"params": jax.random.PRNGKey(seed)},
-                           frames, jnp.asarray(sample_batch["scaling"][:1]),
-                           train=False)
+    variables = jitted_init(model, {"params": jax.random.PRNGKey(seed)},
+                            frames, jnp.asarray(sample_batch["scaling"][:1]),
+                            train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
     opt_state = tx.init(params)

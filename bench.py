@@ -88,7 +88,7 @@ def main():
     from action_detection_tpu.data.pipeline import DirectoryFrameProvider
     from action_detection_tpu.data.ssn_dataset import SSNDataset
     from action_detection_tpu.infer.scorer import ProposalScorer
-    from action_detection_tpu.models import SSN
+    from action_detection_tpu.models import SSN, jitted_init
     from action_detection_tpu.models.backbones import get_backbone
 
     K = 20
@@ -99,8 +99,8 @@ def main():
     log(f"devices: {jax.devices()}")
     t0 = time.time()
     frames0 = jnp.zeros((1, 9, spec.input_size, spec.input_size, 3), jnp.float32)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, frames0,
-                           jnp.ones((1, 2)), train=False)
+    variables = jitted_init(model, {"params": jax.random.PRNGKey(0)}, frames0,
+                            jnp.ones((1, 2)), train=False)
     log(f"init: {time.time() - t0:.1f}s")
 
     reg_stats = np.array([[0.0, 0.0], [1.0, 1.0]], np.float32)
@@ -125,22 +125,28 @@ def main():
                                      n_stacks=TICKS_PER_CHUNK)
         return scorer._pool(scores, ticks, scaling, num_frames)
 
+    def hard_sync(result):
+        # on the axon plugin block_until_ready does not reliably await remote
+        # EXECUTION (only transfers); a host scalar fetch is the hard sync
+        return float(result[0][0, 0])
+
     def measure_block():
         t0 = time.time()
-        jax.block_until_ready(step())
+        hard_sync(step())
         log(f"compile+first-run: {time.time() - t0:.1f}s")
         for _ in range(WARMUP_STEPS):
-            jax.block_until_ready(step())
-        times = []
+            step()
+        hard_sync(step())
+        # whole-loop timing with one end fetch: steps pipeline exactly as the
+        # real scorer's chunk loop does, and the queue fully drains at the sync
+        t0 = time.time()
+        out = None
         for _ in range(MEASURE_STEPS):
-            t0 = time.time()
-            jax.block_until_ready(step())
-            times.append(time.time() - t0)
-        times = np.asarray(times)
-        med = float(np.median(times))
+            out = step()
+        hard_sync(out)
+        med = (time.time() - t0) / MEASURE_STEPS
         log(f"device path: {MEASURE_STEPS} steps x {IMAGES_PER_STEP} images "
-            f"(64 frames shipped/step): median {med * 1e3:.1f} ms/step, "
-            f"p90 {np.percentile(times, 90) * 1e3:.1f} ms")
+            f"(64 frames shipped/step): {med * 1e3:.1f} ms/step hard-synced")
         return med
 
     # the remote compile service occasionally returns a poorly-optimized
@@ -150,7 +156,12 @@ def main():
     for _ in range(2):
         if med < 0.05:
             break
-        log("implausibly slow step — clearing compile cache and retrying")
+        # two distinct slow modes observed on this stack: (a) the remote
+        # compile service returns a poorly-optimized executable (fixed by a
+        # recompile), (b) the service enters a degraded window where the SAME
+        # program executes ~30x slow for minutes (fixed only by waiting)
+        log("implausibly slow step — idling 90s, clearing compile cache, retrying")
+        time.sleep(90)
         jax.clear_caches()
         med = min(med, measure_block())
     images_per_sec = IMAGES_PER_STEP / med

@@ -88,6 +88,9 @@ def test_train_step_decreases_loss_and_freezes_bn(setup):
     # accuracy metrics exist and are percentages
     for k in ("act_acc", "fg_acc", "bg_acc"):
         assert 0.0 <= float(metrics[k]) <= 100.0
+    # gradient-norm diagnostic (stand-in for ops/utils.py:20-32's grad hook)
+    assert float(metrics["grad_norm"]) > 0.0
+    assert np.isfinite(float(metrics["grad_norm"]))
 
 
 def test_eval_step_deterministic(setup):
