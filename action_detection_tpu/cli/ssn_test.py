@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--int8", action="store_true",
                         help="int8-quantize the backbone (BNInception), with "
                              "activation scales calibrated on the first video")
+    parser.add_argument("--pack", action="store_true",
+                        help="pack frame ticks from multiple videos into each "
+                             "fixed-size device chunk (identical scores, no "
+                             "per-video padding compute)")
     return parser
 
 
@@ -110,7 +114,7 @@ def main(argv=None):
     results = score_videos(scorer_factory, dataset, provider,
                            indices=range(n), devices=jax.devices(),
                            keep_raw=args.save_raw_scores is not None,
-                           progress=True)
+                           progress=True, pack=args.pack)
     dt = time.time() - t0
     print(f"scored {len(results)} videos in {dt:.1f}s "
           f"({dt / max(len(results), 1):.3f} sec/video)")

@@ -27,7 +27,8 @@ import numpy as np
 from ..data.pipeline import (iter_scaled_frame_chunks, iter_test_frame_batches,
                              make_test_transform)
 from ..data.ssn_dataset import SSNDataset, TestSample
-from ..data.transforms import Compose, GroupScale, device_oversample, preprocess_frames
+from ..data.transforms import (Compose, GroupScale, Stack, device_oversample,
+                               preprocess_frames)
 from ..models.backbones import InputSpec
 from ..models.ssn import SSN, fuse_test_heads
 from ..ops.stpp import (ReorganizedScoreLayout, StppConfig,
@@ -258,7 +259,11 @@ class ProposalScorer:
         if frame_scores.shape[0] < T_padded:
             frame_scores = jnp.pad(frame_scores,
                                    ((0, T_padded - frame_scores.shape[0]), (0, 0)))
+        return self._pool_video(sample, frame_scores, T, keep_raw=keep_raw)
 
+    def _pool_video(self, sample: TestSample, frame_scores, T: int,
+                    keep_raw: bool = False) -> ScoredVideo:
+        """Pool one video's (T_padded, D) frame-score matrix into proposal scores."""
         P = sample.prop_ticks.shape[0]
         P_padded = _pow2_bucket(P)
         ticks = np.zeros((P_padded, 4), dtype=np.int64)
@@ -266,7 +271,7 @@ class ProposalScorer:
         scal = np.zeros((P_padded, 2), dtype=np.float32)
         scal[:P] = sample.prop_scaling
 
-        act, comp, reg = self._pool(frame_scores,
+        act, comp, reg = self._pool(jnp.asarray(frame_scores),
                                     jax.device_put(ticks, self.device),
                                     jax.device_put(scal, self.device),
                                     jnp.asarray(T, jnp.int32))
@@ -277,6 +282,99 @@ class ProposalScorer:
                            rel_props=sample.rel_props,
                            act_scores=act, comp_scores=comp, reg_scores=reg_out,
                            raw_scores=np.asarray(frame_scores)[:T] if keep_raw else None)
+
+    def score_video_pack(self, samples, provider,
+                         keep_raw: bool = False) -> "list[ScoredVideo]":
+        """Score several videos with cross-video tick packing.
+
+        ``score_video`` pads each video's tick count up to a multiple of
+        ``chunk_frames`` — on THUMOS-length videos that wastes ~chunk/2 of
+        backbone compute per video; short clips waste more. Every row of the
+        device program is independent (per-image CNN in eval mode; the
+        10-crop oversample and crop-mean stay within a row), so ticks from
+        different videos can share one fixed-size chunk: the pack pays
+        chunk/2 padding ONCE. Outputs are identical to per-video scoring
+        (tested). Videos whose scaled frames differ in shape are packed per
+        shape group. Falls back to per-video scoring on the host-crop path
+        (its crop-major chunk layout is per-video).
+        """
+        if not self.device_crops:
+            return [self.score_video(s, provider, keep_raw=keep_raw)
+                    for s in samples]
+
+        from ..data.pipeline import load_proposal_frames
+
+        scale = GroupScale(self.input_spec.scale_size)
+        stack = Stack()
+        new_length = self.model.resolved_new_length
+
+        def load_one(sample, tick) -> np.ndarray:
+            pil = load_proposal_frames(provider, sample.video_id, [tick],
+                                       sample.num_frames, new_length)
+            return stack(scale(pil))            # (H_s, W_s, c_in)
+
+        jobs = [(si, row, tick)
+                for si, s in enumerate(samples)
+                for row, tick in enumerate(s.frame_ticks)]
+
+        # bounded decode window: keep a few chunks of futures in flight so the
+        # chip stays fed without holding the whole pack's frames in host RAM
+        window = 4 * self.chunk_frames
+        futures: "dict[int, Any]" = {}
+
+        def ensure_decoded(j):
+            hi = min(j + window, len(jobs))
+            for k in range(j, hi):
+                if k not in futures:
+                    si, row, tick = jobs[k]
+                    if self._decode_pool is not None:
+                        futures[k] = self._decode_pool.submit(
+                            load_one, samples[si], tick)
+                    else:
+                        futures[k] = load_one(samples[si], tick)
+            f = futures.pop(j)
+            return f.result() if hasattr(f, "result") else f
+
+        # per-shape packing buffers; flush a chunk when full
+        buffers: "dict[tuple, list]" = {}
+        pending = []                      # (scores_dev, [(si, row), ...])
+        for j in range(len(jobs)):
+            si, row, tick = jobs[j]
+            arr = ensure_decoded(j)
+            buf = buffers.setdefault(arr.shape, [])
+            buf.append((si, row, arr))
+            if len(buf) == self.chunk_frames:
+                chunk = np.stack([a for _, _, a in buf])
+                scores = self._score_chunk(
+                    jax.device_put(chunk, self.device),
+                    n_stacks=self.chunk_frames)
+                pending.append((scores, [(s_, r_) for s_, r_, _ in buf]))
+                buffers[arr.shape] = []
+        for shape, buf in buffers.items():          # flush partials, padded
+            if not buf:
+                continue
+            pad = self.chunk_frames - len(buf)
+            chunk = np.stack([a for _, _, a in buf])
+            chunk = np.pad(chunk, ((0, pad),) + ((0, 0),) * (chunk.ndim - 1))
+            scores = self._score_chunk(jax.device_put(chunk, self.device),
+                                       n_stacks=self.chunk_frames)
+            pending.append((scores, [(s_, r_) for s_, r_, _ in buf]))
+
+        # scatter chunk rows back into per-video score matrices, then pool
+        mats = [None] * len(samples)
+        for scores, mapping in pending:
+            host = np.asarray(scores)
+            for r, (si, row) in enumerate(mapping):
+                if mats[si] is None:
+                    T = len(samples[si].frame_ticks)
+                    T_padded = _pow2_bucket(
+                        _round_up(max(T, 1), self.chunk_frames),
+                        lo=self.chunk_frames)
+                    mats[si] = np.zeros((T_padded, host.shape[1]), host.dtype)
+                mats[si][row] = host[r]
+        return [self._pool_video(s, mats[si], len(s.frame_ticks),
+                                 keep_raw=keep_raw)
+                for si, s in enumerate(samples)]
 
 
 def make_sharded_frame_scorer(model: SSN, variables, kernel, bias,
@@ -312,10 +410,14 @@ def make_sharded_frame_scorer(model: SSN, variables, kernel, bias,
 def score_videos(scorer_factory, dataset: SSNDataset, provider,
                  indices: Optional[Iterable[int]] = None,
                  devices=None, keep_raw: bool = False,
-                 progress: bool = False) -> Dict[str, ScoredVideo]:
+                 progress: bool = False,
+                 pack: bool = False) -> Dict[str, ScoredVideo]:
     """Fan videos out over local devices (independent work, no collectives).
 
     ``scorer_factory(device)`` builds a ProposalScorer pinned to a device.
+    With ``pack=True`` each device scores its videos in cross-video packed
+    chunks (``score_video_pack``) in groups of ~16 videos — identical scores,
+    less padding compute.
     """
     import queue
     import threading
@@ -323,8 +425,13 @@ def score_videos(scorer_factory, dataset: SSNDataset, provider,
     devices = devices or jax.devices()
     indices = list(indices if indices is not None else range(len(dataset.video_list)))
     work: "queue.Queue" = queue.Queue()
-    for i in indices:
-        work.put(i)
+    if pack:
+        group = 16          # bounds host memory for the per-pack score matrices
+        for lo in range(0, len(indices), group):
+            work.put(indices[lo: lo + group])
+    else:
+        for i in indices:
+            work.put(i)
     results: Dict[str, ScoredVideo] = {}
     errors = []
     lock = threading.Lock()
@@ -342,17 +449,24 @@ def score_videos(scorer_factory, dataset: SSNDataset, provider,
             except queue.Empty:
                 return
             try:
-                sample = dataset.get_test_sample(idx)
-                out = scorer.score_video(sample, provider, keep_raw=keep_raw)
+                if pack:
+                    samples = [dataset.get_test_sample(i) for i in idx]
+                    outs = scorer.score_video_pack(samples, provider,
+                                                   keep_raw=keep_raw)
+                else:
+                    sample = dataset.get_test_sample(idx)
+                    outs = [scorer.score_video(sample, provider,
+                                               keep_raw=keep_raw)]
             except Exception as e:
                 with lock:
                     errors.append(e)
                 return
             with lock:
-                results[out.video_id] = out
-                if progress:
-                    print(f"scored {out.video_id} "
-                          f"({len(results)}/{len(indices)})", flush=True)
+                for out in outs:
+                    results[out.video_id] = out
+                    if progress:
+                        print(f"scored {out.video_id} "
+                              f"({len(results)}/{len(indices)})", flush=True)
 
     threads = [threading.Thread(target=worker, args=(d,)) for d in devices]
     for t in threads:

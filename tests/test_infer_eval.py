@@ -71,6 +71,43 @@ def test_score_video_shapes_and_padding_invariance(scorer_setup):
     np.testing.assert_allclose(out.reg_scores, out2.reg_scores, atol=1e-4)
 
 
+def test_score_video_pack_matches_per_video(scorer_setup):
+    """Cross-video packed chunks must reproduce per-video scoring exactly:
+    every device-program row is independent, so sharing chunks across video
+    boundaries changes only the padding compute, not any score."""
+    ds, provider, model, spec, variables, reg_stats = scorer_setup
+    scorer = make_scorer(scorer_setup)
+    samples = [ds.get_test_sample(i) for i in range(3)]
+    singles = [scorer.score_video(s, provider, keep_raw=True) for s in samples]
+    packed = scorer.score_video_pack(samples, provider, keep_raw=True)
+    assert [o.video_id for o in packed] == [o.video_id for o in singles]
+    for a, b in zip(packed, singles):
+        np.testing.assert_allclose(a.act_scores, b.act_scores, atol=1e-5)
+        np.testing.assert_allclose(a.comp_scores, b.comp_scores, atol=1e-5)
+        np.testing.assert_allclose(a.reg_scores, b.reg_scores, atol=1e-5)
+        np.testing.assert_allclose(a.raw_scores, b.raw_scores, atol=1e-5)
+    # fewer chunks than per-video scoring (that's the point of packing)
+    total_ticks = sum(len(s.frame_ticks) for s in samples)
+    packed_chunks = -(-total_ticks // scorer.chunk_frames)
+    single_chunks = sum(-(-len(s.frame_ticks) // scorer.chunk_frames)
+                        for s in samples)
+    assert packed_chunks <= single_chunks
+
+
+def test_score_videos_pack_fanout(scorer_setup):
+    ds, provider, model, spec, variables, reg_stats = scorer_setup
+    res_pack = score_videos(lambda dev: make_scorer(scorer_setup, device=dev),
+                            ds, provider, indices=range(3),
+                            devices=jax.devices()[:2], pack=True)
+    res_single = score_videos(lambda dev: make_scorer(scorer_setup, device=dev),
+                              ds, provider, indices=range(3),
+                              devices=jax.devices()[:2])
+    assert set(res_pack) == set(res_single)
+    for vid in res_pack:
+        np.testing.assert_allclose(res_pack[vid].act_scores,
+                                   res_single[vid].act_scores, atol=1e-5)
+
+
 def test_score_video_matches_oracle_pooling(scorer_setup):
     """Device pooling of frame scores == numpy oracle on the raw score dump."""
     from tests.test_stpp import oracle_reorg_pool
