@@ -181,6 +181,20 @@ def iter_test_frame_batches(provider, video_id: str, frame_ticks: np.ndarray,
         yield seg
 
 
+def load_scaled_stack(provider, video_id: str, tick, frame_cnt: int,
+                      scale: GroupScale, new_length: int = 1) -> np.ndarray:
+    """Decode + rescale one tick to a stacked uint8 ``(H_s, W_s, c_in)`` array.
+
+    The single shared per-tick recipe of the device-crops inference pipeline
+    (PIL bilinear parity with the reference's GroupScale) — used by both
+    per-video chunking and cross-video packing so their pixel streams can
+    never diverge.
+    """
+    pil = load_proposal_frames(provider, video_id, [tick], frame_cnt,
+                               new_length)
+    return Stack()(scale(pil))
+
+
 def iter_scaled_frame_chunks(provider, video_id: str, frame_ticks: np.ndarray,
                              frame_cnt: int, scale_size: int,
                              new_length: int = 1, batch_ticks: int = 32,
@@ -192,14 +206,14 @@ def iter_scaled_frame_chunks(provider, video_id: str, frame_ticks: np.ndarray,
     bilinear parity); the 10-crop oversample happens on device
     (:func:`..transforms.device_oversample`). Per-tick decode work fans out on
     ``executor`` (JPEG decode is the reference's known 80% of load time,
-    transforms.py:286-287 — parallel decode keeps the chip fed).
+    transforms.py:286-287 — parallel decode keeps the chip fed) with a bounded
+    in-flight window so long videos don't pile decoded frames in host RAM.
     """
     scale = GroupScale(scale_size)
 
     def load_one(tick) -> np.ndarray:
-        pil = load_proposal_frames(provider, video_id, [tick], frame_cnt,
-                                   new_length)
-        return Stack()(scale(pil))              # (H_s, W_s, c_in)
+        return load_scaled_stack(provider, video_id, tick, frame_cnt, scale,
+                                 new_length)
 
     n = len(frame_ticks)
     if executor is None:
@@ -207,9 +221,15 @@ def iter_scaled_frame_chunks(provider, video_id: str, frame_ticks: np.ndarray,
         for lo in range(0, n, batch_ticks):
             yield np.stack([next(arrays) for _ in range(min(batch_ticks, n - lo))])
     else:
-        futures = [executor.submit(load_one, t) for t in frame_ticks]
+        window = 4 * batch_ticks
+        futures: dict = {}
         for lo in range(0, n, batch_ticks):
-            yield np.stack([f.result() for f in futures[lo: lo + batch_ticks]])
+            hi = min(lo + window, n)
+            for k in range(lo, hi):
+                if k not in futures:
+                    futures[k] = executor.submit(load_one, frame_ticks[k])
+            yield np.stack([futures.pop(k).result()
+                            for k in range(lo, min(lo + batch_ticks, n))])
 
 
 class PrefetchLoader:

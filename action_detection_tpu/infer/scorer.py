@@ -27,7 +27,7 @@ import numpy as np
 from ..data.pipeline import (iter_scaled_frame_chunks, iter_test_frame_batches,
                              make_test_transform)
 from ..data.ssn_dataset import SSNDataset, TestSample
-from ..data.transforms import (Compose, GroupScale, Stack, device_oversample,
+from ..data.transforms import (Compose, GroupScale, device_oversample,
                                preprocess_frames)
 from ..models.backbones import InputSpec
 from ..models.ssn import SSN, fuse_test_heads
@@ -149,6 +149,18 @@ class ProposalScorer:
         # to powers of two, so pooling compiles O(log) programs total instead
         # of one per distinct video length
         self._pool_jit = jax.jit(self._pool_impl)
+
+    def close(self) -> None:
+        """Shut down the decode thread pool (idempotent)."""
+        if self._decode_pool is not None:
+            self._decode_pool.shutdown(wait=False)
+            self._decode_pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     # --- device programs ---
 
@@ -302,16 +314,14 @@ class ProposalScorer:
             return [self.score_video(s, provider, keep_raw=keep_raw)
                     for s in samples]
 
-        from ..data.pipeline import load_proposal_frames
+        from ..data.pipeline import load_scaled_stack
 
         scale = GroupScale(self.input_spec.scale_size)
-        stack = Stack()
         new_length = self.model.resolved_new_length
 
         def load_one(sample, tick) -> np.ndarray:
-            pil = load_proposal_frames(provider, sample.video_id, [tick],
-                                       sample.num_frames, new_length)
-            return stack(scale(pil))            # (H_s, W_s, c_in)
+            return load_scaled_stack(provider, sample.video_id, tick,
+                                     sample.num_frames, scale, new_length)
 
         jobs = [(si, row, tick)
                 for si, s in enumerate(samples)
@@ -443,6 +453,12 @@ def score_videos(scorer_factory, dataset: SSNDataset, provider,
             with lock:
                 errors.append(e)
             return
+        try:
+            _drain(scorer, device)
+        finally:
+            scorer.close()
+
+    def _drain(scorer, device):
         while True:
             try:
                 idx = work.get_nowait()

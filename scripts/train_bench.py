@@ -98,7 +98,7 @@ def main(argv=None):
     def measure(dev_resident: bool, n_steps: int):
         nonlocal state
         dev_batch = jax.device_put(batch) if dev_resident else None
-        for _ in range(args.warmup):
+        for _ in range(max(args.warmup, 1)):
             state, m = train_step(
                 state, dev_batch if dev_resident else jax.device_put(batch), key)
         float(m["loss"])
