@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--synthetic_data", action="store_true")
     parser.add_argument("--int8", action="store_true",
                         help="int8-quantize the backbone (BNInception)")
+    parser.add_argument("--host_crops", action="store_true",
+                        help="cut the 10-crop oversample on host instead of "
+                             "on device (debugging / parity checks)")
     return parser
 
 
@@ -43,8 +46,9 @@ def main(argv=None):
     from ..config import get_actionness_configs
     from ..data.binary_dataset import BinaryDataset
     from ..data.pipeline import (DirectoryFrameProvider, SyntheticFrameProvider,
+                                 iter_scaled_frame_chunks,
                                  iter_test_frame_batches, make_test_transform)
-    from ..data.transforms import preprocess_frames
+    from ..data.transforms import device_oversample, preprocess_frames
     from ..models import BinaryClassifier
     from ..models.backbones import get_backbone
     from ..train import load_checkpoint
@@ -104,8 +108,18 @@ def main(argv=None):
     head = {"kernel": ck["params"]["classifier_fc"]["kernel"],
             "bias": ck["params"]["classifier_fc"]["bias"]}
 
+    # 10-crop path cuts the oversample on DEVICE from one shipped scale-size
+    # frame per tick (~6-10x less PCIe; bit-identical to host GroupOverSample,
+    # same as infer/scorer.py). Per-crop scores are preserved — the output
+    # pickle stays {vid: (frames, crops, 2)} like the reference's
+    # binary_test.py:84-94.
+    use_device_crops = args.test_crops == 10 and not args.host_crops
+
     @jax.jit
     def score_chunk_impl(variables, quantized, act_scales, head, frames_u8):
+        if use_device_crops:
+            frames_u8 = device_oversample(frames_u8, spec.input_size,
+                                          args.modality)
         x = preprocess_frames(frames_u8, spec, args.modality, new_length)
         if quantized is not None:
             from ..models.backbones.bn_inception_int8 import (
@@ -125,20 +139,36 @@ def main(argv=None):
     if args.max_num > 0:
         n = min(n, args.max_num)
 
+    decode_pool = None
+    if use_device_crops:
+        from concurrent.futures import ThreadPoolExecutor
+
+        decode_pool = ThreadPoolExecutor(
+            max_workers=min(8, 2 * (os.cpu_count() or 1)))
+
     results = {}
     t0 = time.time()
     for idx in range(n):
         sample = dataset.get_test_sample(idx)
         T = len(sample.frame_ticks)
-        chunks = []
-        for chunk in iter_test_frame_batches(
+        if use_device_crops:
+            chunk_iter = iter_scaled_frame_chunks(
+                provider, sample.video_id, sample.frame_ticks,
+                sample.num_frames, spec.scale_size, new_length=new_length,
+                batch_ticks=args.test_batchsize, executor=decode_pool)
+            host_crops = 1
+        else:
+            chunk_iter = iter_test_frame_batches(
                 provider, sample.video_id, sample.frame_ticks,
                 sample.num_frames, transform, new_length=new_length,
-                batch_ticks=args.test_batchsize):
-            n_ticks = chunk.shape[0] // args.test_crops
+                batch_ticks=args.test_batchsize)
+            host_crops = args.test_crops
+        chunks = []
+        for chunk in chunk_iter:
+            n_ticks = chunk.shape[0] // host_crops
             # pad tick axis to the static chunk size (crop-major layout)
             if n_ticks < args.test_batchsize:
-                c = chunk.reshape(args.test_crops, n_ticks, *chunk.shape[1:])
+                c = chunk.reshape(host_crops, n_ticks, *chunk.shape[1:])
                 c = np.pad(c, ((0, 0), (0, args.test_batchsize - n_ticks))
                            + ((0, 0),) * (c.ndim - 2))
                 chunk = c.reshape(-1, *chunk.shape[1:])
@@ -150,6 +180,8 @@ def main(argv=None):
         print(f"video {idx} {sample.video_id} done "
               f"({(time.time() - t0) / (idx + 1):.3f} sec/video)", flush=True)
 
+    if decode_pool is not None:
+        decode_pool.shutdown(wait=False)
     with open(args.save_scores, "wb") as f:
         pickle.dump(results, f, pickle.HIGHEST_PROTOCOL)
     print(f"scores saved to {args.save_scores}")

@@ -91,6 +91,16 @@ def test_binary_train_and_test_and_tag(workdir, monkeypatch):
         assert arr.ndim == 3 and arr.shape[1:] == (10, 2)
         assert np.isfinite(arr).all()
 
+    # device-side 10-crop (default) must match the host-crop path per crop
+    btest(["thumos14", "RGB", ckpt, "binary_scores_host.pkl", "--arch",
+           "TinyConv", "--synthetic_data", "--prop_file_dir", str(workdir),
+           "--frame_interval", "30", "--test_batchsize", "8", "--host_crops"])
+    with open("binary_scores_host.pkl", "rb") as f:
+        hscores = pickle.load(f)
+    assert set(hscores) == set(bscores)
+    for vid in bscores:
+        np.testing.assert_allclose(bscores[vid], hscores[vid], atol=1e-5)
+
 
 def test_flow_modality_train_and_test(workdir, monkeypatch):
     """Flow two-stream path: 10-channel stacked flow through train + score."""
