@@ -29,16 +29,18 @@ python gen_proposal_list.py thumos14 "$FRAME_PATH"
 #     --write_proposals data/thumos14_tag_test_proposal_list.txt
 
 # ---- 2. train both streams (reference recipe: b=16, lr steps 20/40, 45 ep) ----
+# (checkpoint names follow the reference scheme
+#  ssn<pref>_<dataset>_<arch>_<modality>_checkpoint.msgpack, landing in cwd)
 python ssn_train.py thumos14 RGB -b 16 --lr 0.001 --lr_steps 20 40 --epochs 45 \
-    --data_root "$FRAME_PATH" --snapshot_pref "$WORK/"
+    --data_root "$FRAME_PATH"
 python ssn_train.py thumos14 Flow -b 16 --lr 0.005 --lr_steps 20 40 --epochs 45 \
-    --data_root "$FRAME_PATH" --snapshot_pref "$WORK/" \
+    --data_root "$FRAME_PATH" \
     --init_weights "${FLOW_INIT:-flow_init.pth}"  # cross-modality init is automatic
 
 # ---- 3. score the test set (10-crop dense scoring; add --int8 for speed) ----
-python ssn_test.py thumos14 RGB "$WORK/ssn_thumos14_BNInception_rgb_checkpoint.msgpack" \
+python ssn_test.py thumos14 RGB ssn_thumos14_BNInception_rgb_checkpoint.msgpack \
     "$WORK/scores_rgb.pkl" --data_root "$FRAME_PATH"
-python ssn_test.py thumos14 Flow "$WORK/ssn_thumos14_BNInception_flow_checkpoint.msgpack" \
+python ssn_test.py thumos14 Flow ssn_thumos14_BNInception_flow_checkpoint.msgpack \
     "$WORK/scores_flow.pkl" --data_root "$FRAME_PATH"
 
 # ---- 4. two-stream fusion + mAP@tIoU (reference weights 1:2 RGB:Flow) ----
