@@ -47,7 +47,8 @@ def main(argv=None):
     from ..data.binary_dataset import BinaryDataset
     from ..data.pipeline import (DirectoryFrameProvider, SyntheticFrameProvider,
                                  iter_scaled_frame_chunks,
-                                 iter_test_frame_batches, make_test_transform)
+                                 iter_test_frame_batches, make_decode_pool,
+                                 make_test_transform, pad_chunk_ticks)
     from ..data.transforms import device_oversample, preprocess_frames
     from ..models import BinaryClassifier
     from ..models.backbones import get_backbone
@@ -139,12 +140,7 @@ def main(argv=None):
     if args.max_num > 0:
         n = min(n, args.max_num)
 
-    decode_pool = None
-    if use_device_crops:
-        from concurrent.futures import ThreadPoolExecutor
-
-        decode_pool = ThreadPoolExecutor(
-            max_workers=min(8, 2 * (os.cpu_count() or 1)))
+    decode_pool = make_decode_pool() if use_device_crops else None
 
     results = {}
     t0 = time.time()
@@ -166,12 +162,7 @@ def main(argv=None):
         chunks = []
         for chunk in chunk_iter:
             n_ticks = chunk.shape[0] // host_crops
-            # pad tick axis to the static chunk size (crop-major layout)
-            if n_ticks < args.test_batchsize:
-                c = chunk.reshape(host_crops, n_ticks, *chunk.shape[1:])
-                c = np.pad(c, ((0, 0), (0, args.test_batchsize - n_ticks))
-                           + ((0, 0),) * (c.ndim - 2))
-                chunk = c.reshape(-1, *chunk.shape[1:])
+            chunk = pad_chunk_ticks(chunk, host_crops, args.test_batchsize)
             scores = np.asarray(score_chunk(chunk))
             # (crops * ticks, 2) -> (ticks, crops, 2)
             scores = scores.reshape(args.test_crops, args.test_batchsize, 2)

@@ -151,6 +151,54 @@ def make_test_transform(crop_size: int, scale_size: int, test_crops: int) -> Com
     raise ValueError(f"unsupported number of crops {test_crops}")
 
 
+def make_decode_pool(threads: Optional[int] = None
+                     ) -> Optional[ThreadPoolExecutor]:
+    """Thread pool for parallel JPEG decode on the inference hot path.
+
+    PIL releases the GIL inside libjpeg, so a few threads pay off even on one
+    core; beyond ~2x cores they only thrash. Returns None for threads <= 1.
+    """
+    import os
+
+    if threads is None:
+        threads = min(8, 2 * (os.cpu_count() or 1))
+    if threads <= 1:
+        return None
+    return ThreadPoolExecutor(max_workers=threads)
+
+
+def iter_windowed_decode(jobs: Sequence, load_one: Callable,
+                         executor: Optional[ThreadPoolExecutor],
+                         window: int) -> Iterator:
+    """Yield ``load_one(job)`` for each job in order, decoding up to ``window``
+    jobs ahead on ``executor`` — the chip stays fed without piling the whole
+    video's decoded frames in host RAM. Synchronous when executor is None."""
+    if executor is None:
+        for job in jobs:
+            yield load_one(job)
+        return
+    futures: dict = {}
+    n = len(jobs)
+    for j in range(n):
+        for k in range(j, min(j + window, n)):
+            if k not in futures:
+                futures[k] = executor.submit(load_one, jobs[k])
+        yield futures.pop(j).result()
+
+
+def pad_chunk_ticks(chunk: np.ndarray, host_crops: int,
+                    batch_ticks: int) -> np.ndarray:
+    """Pad a crop-major ``(host_crops * n_ticks, ...)`` chunk to the static
+    ``batch_ticks`` tick count (zero ticks appended per crop block)."""
+    n_ticks = chunk.shape[0] // host_crops
+    if n_ticks == batch_ticks:
+        return chunk
+    c = chunk.reshape(host_crops, n_ticks, *chunk.shape[1:])
+    c = np.pad(c, ((0, 0), (0, batch_ticks - n_ticks))
+               + ((0, 0),) * (c.ndim - 2))
+    return c.reshape(host_crops * batch_ticks, *chunk.shape[1:])
+
+
 def iter_test_frame_batches(provider, video_id: str, frame_ticks: np.ndarray,
                             frame_cnt: int, transform: Compose,
                             new_length: int = 1, batch_ticks: int = 32,
@@ -216,20 +264,10 @@ def iter_scaled_frame_chunks(provider, video_id: str, frame_ticks: np.ndarray,
                                  new_length)
 
     n = len(frame_ticks)
-    if executor is None:
-        arrays = map(load_one, frame_ticks)
-        for lo in range(0, n, batch_ticks):
-            yield np.stack([next(arrays) for _ in range(min(batch_ticks, n - lo))])
-    else:
-        window = 4 * batch_ticks
-        futures: dict = {}
-        for lo in range(0, n, batch_ticks):
-            hi = min(lo + window, n)
-            for k in range(lo, hi):
-                if k not in futures:
-                    futures[k] = executor.submit(load_one, frame_ticks[k])
-            yield np.stack([futures.pop(k).result()
-                            for k in range(lo, min(lo + batch_ticks, n))])
+    arrays = iter_windowed_decode(list(frame_ticks), load_one, executor,
+                                  window=4 * batch_ticks)
+    for lo in range(0, n, batch_ticks):
+        yield np.stack([next(arrays) for _ in range(min(batch_ticks, n - lo))])
 
 
 class PrefetchLoader:

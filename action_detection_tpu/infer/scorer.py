@@ -18,14 +18,15 @@ STPP (ops/ssn_ops.py:82-170). Structure preserved, machinery redesigned:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Iterable, Optional, Tuple
+from typing import Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..data.pipeline import (iter_scaled_frame_chunks, iter_test_frame_batches,
-                             make_test_transform)
+                             iter_windowed_decode, make_decode_pool,
+                             make_test_transform, pad_chunk_ticks)
 from ..data.ssn_dataset import SSNDataset, TestSample
 from ..data.transforms import (Compose, GroupScale, device_oversample,
                                preprocess_frames)
@@ -90,17 +91,10 @@ class ProposalScorer:
         if device_crops is None:
             device_crops = test_crops == 10
         self.device_crops = device_crops and test_crops == 10
-        self._decode_pool = None
-        if decode_threads is None:
-            # PIL releases the GIL inside libjpeg, so a few threads pay off
-            # even on one core; beyond ~2x cores they only thrash
-            import os
-
-            decode_threads = min(8, 2 * (os.cpu_count() or 1))
-        if decode_threads > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._decode_pool = ThreadPoolExecutor(max_workers=decode_threads)
+        # the pool feeds iter_scaled_frame_chunks / score_video_pack, both
+        # device-crops-only paths (iter_test_frame_batches takes no executor)
+        self._decode_pool = (make_decode_pool(decode_threads)
+                             if self.device_crops else None)
 
         kernel, bias = fuse_test_heads(params, self.num_class, stpp_cfg,
                                        with_regression=with_regression)
@@ -254,13 +248,7 @@ class ProposalScorer:
         filled = 0
         for chunk in chunks:
             n_stacks_real = chunk.shape[0] // host_crops
-            if n_stacks_real < self.chunk_frames:
-                # pad the tick axis (crop-major layout: pad per crop block)
-                c = chunk.reshape(host_crops, n_stacks_real, *chunk.shape[1:])
-                pad = self.chunk_frames - n_stacks_real
-                c = np.pad(c, ((0, 0), (0, pad)) + ((0, 0),) * (c.ndim - 2))
-                chunk = c.reshape(host_crops * self.chunk_frames,
-                                  *chunk.shape[1:])
+            chunk = pad_chunk_ticks(chunk, host_crops, self.chunk_frames)
             scores = self._score_chunk(jax.device_put(chunk, self.device),
                                        n_stacks=self.chunk_frames)
             out_chunks.append(scores)
@@ -326,31 +314,14 @@ class ProposalScorer:
         jobs = [(si, row, tick)
                 for si, s in enumerate(samples)
                 for row, tick in enumerate(s.frame_ticks)]
-
-        # bounded decode window: keep a few chunks of futures in flight so the
-        # chip stays fed without holding the whole pack's frames in host RAM
-        window = 4 * self.chunk_frames
-        futures: "dict[int, Any]" = {}
-
-        def ensure_decoded(j):
-            hi = min(j + window, len(jobs))
-            for k in range(j, hi):
-                if k not in futures:
-                    si, row, tick = jobs[k]
-                    if self._decode_pool is not None:
-                        futures[k] = self._decode_pool.submit(
-                            load_one, samples[si], tick)
-                    else:
-                        futures[k] = load_one(samples[si], tick)
-            f = futures.pop(j)
-            return f.result() if hasattr(f, "result") else f
+        decoded = iter_windowed_decode(
+            jobs, lambda job: load_one(samples[job[0]], job[2]),
+            self._decode_pool, window=4 * self.chunk_frames)
 
         # per-shape packing buffers; flush a chunk when full
         buffers: "dict[tuple, list]" = {}
         pending = []                      # (scores_dev, [(si, row), ...])
-        for j in range(len(jobs)):
-            si, row, tick = jobs[j]
-            arr = ensure_decoded(j)
+        for (si, row, tick), arr in zip(jobs, decoded):
             buf = buffers.setdefault(arr.shape, [])
             buf.append((si, row, arr))
             if len(buf) == self.chunk_frames:

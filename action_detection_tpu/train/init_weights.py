@@ -73,13 +73,19 @@ def apply_init_weights(state, args, cfg: DatasetConfig,
             cfg, args.arch, args.modality, kinetics=True)
     elif args.modality == "Flow":
         # the reference always loads flow_init here (ssn_train.py:55-58) but
-        # only publishes URLs for BNInception/InceptionV3 — fall back to
-        # framework init for other arches instead of crashing
+        # only publishes URLs for BNInception/InceptionV3, and it downloads
+        # them itself — offline, an uncached file must not kill an implicit
+        # init (only the explicit --kinetics_pretrain ask errors hard)
         try:
             path = resolve_pretrained_init(cfg, args.arch, args.modality)
         except KeyError:
             print(f"=> no flow_init URL for arch {args.arch}; "
                   f"using framework init")
+            path = None
+        except FileNotFoundError as e:
+            print(f"=> WARNING: flow init checkpoint not cached; training "
+                  f"from framework init (the reference would download it):"
+                  f"\n{e}")
             path = None
     else:
         path = None

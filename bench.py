@@ -130,6 +130,29 @@ def main():
         # EXECUTION (only transfers); a host scalar fetch is the hard sync
         return float(result[0][0, 0])
 
+    def transfer_probe_ms():
+        """Time one 16.7MB host->device ship (the per-step input)."""
+        t0 = time.time()
+        jax.device_put(host_chunk, scorer.device).block_until_ready()
+        return (time.time() - t0) * 1e3
+
+    def wait_until_healthy(budget_s=480):
+        """The tunnel service has multi-minute degraded windows (~30x slow
+        execs, transfers 1.2GB/s -> ~10MB/s); idling recovers it, recompiling
+        does not (measured: a fresh compile of a *different* shape was equally
+        slow inside a window). Probe transfer bandwidth and idle until the
+        window passes, bounded by budget_s."""
+        deadline = time.time() + budget_s
+        while True:
+            ms = min(transfer_probe_ms() for _ in range(2))
+            if ms < 150.0:  # healthy ships are ~11-28ms
+                return True
+            if time.time() > deadline:
+                log(f"transfer still degraded ({ms:.0f}ms/16.7MB); proceeding")
+                return False
+            log(f"degraded window ({ms:.0f}ms for a 16.7MB ship) — idling 60s")
+            time.sleep(60)
+
     def measure_block():
         t0 = time.time()
         hard_sync(step())
@@ -149,20 +172,24 @@ def main():
             f"(64 frames shipped/step): {med * 1e3:.1f} ms/step hard-synced")
         return med
 
-    # the remote compile service occasionally returns a poorly-optimized
-    # executable (observed: 296 ms/step vs the usual ~11 ms for the identical
-    # program); recompile and re-measure when the result is implausibly slow
+    # two distinct slow modes observed on this stack: (a) the remote compile
+    # service occasionally returns a poorly-optimized executable (296 ms/step
+    # vs the usual ~11 ms for the identical program) — fixed by a recompile;
+    # (b) the service enters a degraded window where the SAME program executes
+    # ~30x slow for minutes — fixed only by waiting (recompiling a different
+    # shape inside a window measured equally slow). Probe-and-idle handles
+    # (b); clear_caches+retry handles (a).
+    wait_until_healthy()
     med = measure_block()
-    for _ in range(2):
+    for attempt in range(4):
         if med < 0.05:
             break
-        # two distinct slow modes observed on this stack: (a) the remote
-        # compile service returns a poorly-optimized executable (fixed by a
-        # recompile), (b) the service enters a degraded window where the SAME
-        # program executes ~30x slow for minutes (fixed only by waiting)
-        log("implausibly slow step — idling 90s, clearing compile cache, retrying")
+        log("implausibly slow step — waiting out any degraded window, "
+            "clearing compile cache, retrying")
         time.sleep(90)
-        jax.clear_caches()
+        wait_until_healthy()
+        if attempt >= 1:
+            jax.clear_caches()
         med = min(med, measure_block())
     images_per_sec = IMAGES_PER_STEP / med
 

@@ -9,9 +9,11 @@
 #   2. Download the normalized TAG proposal lists into data/ (reference
 #      release), or generate your own via the TAG pipeline in
 #      reproduce_thumos14.sh step 1.
-#   3. (optional) Kinetics-pretrained reference checkpoints — resolved by
-#      --kinetics_pretrain from configs/reference_models.yaml into a local
-#      cache and converted on load (models/convert.py).
+#   3. (optional) Kinetics-pretrained initializations — resolved by
+#      --kinetics_pretrain from the kinetics_pretrain URL map in
+#      configs/dataset_cfg.yaml against the local cache
+#      (~/.cache/action_detection_tpu) and converted on load
+#      (models/convert.py). Set KINETICS=1 to enable below.
 set -euo pipefail
 
 FRAME_PATH=${1:?usage: reproduce_anet12.sh FRAME_PATH [WORKDIR]}

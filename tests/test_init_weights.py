@@ -93,6 +93,31 @@ def test_apply_init_weights_kinetics_end_to_end(monkeypatch, tmp_path):
         np.asarray(sd["conv1_7x7_s2_bn.running_mean"]), atol=0)
 
 
+def test_flow_with_uncached_url_falls_back_gracefully(capsys, monkeypatch,
+                                                      tmp_path):
+    """BNInception Flow HAS a published flow_init URL; when it is not in the
+    local cache the implicit init must warn and continue (the reference
+    downloads it — ssn_train.py:55-58 — which zero-egress cannot), not crash
+    the run. Only the explicit --kinetics_pretrain ask errors hard."""
+    from action_detection_tpu.train import load_checkpoint
+    from action_detection_tpu.train.init_weights import apply_init_weights
+
+    monkeypatch.setenv("ADT_MODEL_CACHE", str(tmp_path))
+
+    class Args:
+        init_weights = ""
+        kinetics_pretrain = False
+        arch = "BNInception"
+        modality = "Flow"
+
+    cfg = get_configs("thumos14")
+    sentinel = object()
+    out = apply_init_weights(sentinel, Args, cfg, load_checkpoint)
+    assert out is sentinel  # state untouched -> framework init kept
+    msg = capsys.readouterr().out
+    assert "WARNING" in msg and "not cached" in msg and "https://" in msg
+
+
 def test_flow_without_url_falls_back_gracefully(capsys):
     import jax
     import jax.numpy as jnp
