@@ -178,22 +178,17 @@ def quantization_report(backbone, variables, frames,
     return report
 
 
-def calibrate_activation_scales(q: QuantizedParams,
-                                sample_frames: jnp.ndarray) -> Dict[str, Any]:
-    """One calibration pass recording each conv's input max -> static scales.
+def _calibration_maxes(q: QuantizedParams,
+                       sample_frames: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Traced dynamic-scale forward returning each conv input's |max|.
 
-    ``sample_frames``: a representative normalized batch. Returns
-    {layer: scalar f32 scale} to pass as ``act_scales``. Static scales remove
-    the per-layer dynamic max reduction (measured: 21.4k vs 16.5k img/s at
-    640-image steps on one v5e).
-    """
-    maxes: Dict[str, float] = {}
-    s = {}
+    One jittable function so the whole calibration pass is a single remote
+    compile (the previous eager version fetched a host float per conv —
+    dozens of tiny remote programs through the tunnel)."""
+    maxes: Dict[str, jnp.ndarray] = {}
 
-    # dynamic-path forward that records each conv input's max on the host
     def conv(x, name, stride=1, pad=0):
-        maxes[name] = max(maxes.get(name, 0.0),
-                          float(jnp.max(jnp.abs(x))))
+        maxes[name] = jnp.max(jnp.abs(x)).astype(jnp.float32)
         return _conv_int8(x, q[name], stride=stride, pad=pad)
 
     x = sample_frames.astype(jnp.bfloat16)
@@ -220,7 +215,18 @@ def calibrate_activation_scales(q: QuantizedParams,
         else:
             branches.append(_max_pool(x, 3, 2, ceil=True))
         x = jnp.concatenate(branches, axis=-1)
+    return maxes
 
-    for name, m in maxes.items():
-        s[name] = jnp.asarray(max(m, 1e-8) / 127.0, jnp.float32)
-    return s
+
+def calibrate_activation_scales(q: QuantizedParams,
+                                sample_frames: jnp.ndarray) -> Dict[str, Any]:
+    """One calibration pass recording each conv's input max -> static scales.
+
+    ``sample_frames``: a representative normalized batch. Returns
+    {layer: scalar f32 scale} to pass as ``act_scales``. Static scales remove
+    the per-layer dynamic max reduction (a net win at 640-image steps,
+    measured r1 and kept).
+    """
+    maxes = jax.jit(_calibration_maxes)(q, sample_frames)
+    return {name: jnp.asarray(max(float(m), 1e-8) / 127.0, jnp.float32)
+            for name, m in maxes.items()}
