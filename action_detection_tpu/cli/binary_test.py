@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--synthetic_data", action="store_true")
     parser.add_argument("--int8", action="store_true",
                         help="int8-quantize the backbone (BNInception)")
+    parser.add_argument("--gpus", "--devices", dest="devices", nargs="+",
+                        type=int, default=None,
+                        help="local device index to score on (first entry "
+                             "is used; default device 0)")
     parser.add_argument("--host_crops", action="store_true",
                         help="cut the 10-crop oversample on host instead of "
                              "on device (debugging / parity checks)")
@@ -132,9 +136,15 @@ def main(argv=None):
                               precision=jax.lax.Precision.HIGHEST) + head["bias"]
         return model.apply(variables, x, method=BinaryClassifier.score_frames)
 
+    # jit follows the placement of its committed argument, so pinning the
+    # frames pins the computation to the selected device
+    from ..parallel import select_devices
+
+    device = select_devices(args.devices)[0]
+
     def score_chunk(frames_u8):
         return score_chunk_impl(variables, quantized, act_scales, head,
-                                frames_u8)
+                                jax.device_put(frames_u8, device))
 
     n = len(dataset.video_list)
     if args.max_num > 0:

@@ -31,7 +31,7 @@ def main(argv=None):
     from ..models import BinaryClassifier
     from ..models.backbones import get_backbone
     from ..ops.losses import accuracy
-    from ..parallel import make_mesh, replicate, shard_batch
+    from ..parallel import make_mesh, replicate, select_devices, shard_batch
     from ..train import (checkpoint_name, load_checkpoint, make_optimizer,
                          save_checkpoint)
     from ..train.trainer import TrainState
@@ -149,7 +149,7 @@ def main(argv=None):
                              batch_stats=new_stats,
                              opt_state=opt_state), metrics
 
-    mesh = make_mesh()
+    mesh = make_mesh(select_devices(args.devices))
     state = replicate(state, mesh)
     key = jax.random.PRNGKey(args.seed)
     ckpt_file = checkpoint_name(args.snapshot_pref, args.dataset, args.arch,

@@ -36,6 +36,10 @@ def build_train_parser(description: str) -> argparse.ArgumentParser:
 
     # runtime
     parser.add_argument("-j", "--workers", default=4, type=int)
+    parser.add_argument("--gpus", "--devices", dest="devices", nargs="+",
+                        type=int, default=None,
+                        help="local device indices to use (default: all) — "
+                             "the reference's --gpus (ssn_opts.py:60)")
     parser.add_argument("--resume", default="", type=str)
     parser.add_argument("--kinetics_pretrain", "--kin", default=False,
                         action="store_true")

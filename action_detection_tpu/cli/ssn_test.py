@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--int8", action="store_true",
                         help="int8-quantize the backbone (BNInception), with "
                              "activation scales calibrated on the first video")
+    parser.add_argument("--gpus", "--devices", dest="devices", nargs="+",
+                        type=int, default=None,
+                        help="local device indices to fan videos out over "
+                             "(default: all) — the reference's --gpus "
+                             "(ssn_test.py:32,52)")
     parser.add_argument("--pack", action="store_true",
                         help="pack frame ticks from multiple videos into each "
                              "fixed-size device chunk (identical scores, no "
@@ -111,8 +116,11 @@ def main(argv=None):
     if args.max_num > 0:
         n = min(n, args.max_num)
     t0 = time.time()
+    from ..parallel import select_devices
+
     results = score_videos(scorer_factory, dataset, provider,
-                           indices=range(n), devices=jax.devices(),
+                           indices=range(n),
+                           devices=select_devices(args.devices),
                            keep_raw=args.save_raw_scores is not None,
                            progress=True, pack=args.pack)
     dt = time.time() - t0

@@ -34,7 +34,7 @@ def main(argv=None):
     from ..data.transforms import get_train_augmentation
     from ..models import SSN
     from ..models.backbones import get_backbone
-    from ..parallel import make_mesh, replicate, shard_batch
+    from ..parallel import make_mesh, replicate, select_devices, shard_batch
     from ..train import (LossWeights, checkpoint_name, create_train_state,
                          load_checkpoint, make_eval_step, make_optimizer,
                          make_train_step, save_checkpoint)
@@ -115,7 +115,7 @@ def main(argv=None):
     eval_step = make_eval_step(model, sampling, spec, weights,
                                modality=args.modality)
 
-    mesh = make_mesh()
+    mesh = make_mesh(select_devices(args.devices))
     state = replicate(state, mesh)
     dropout_key = jax.random.PRNGKey(args.seed)
 

@@ -1,2 +1,2 @@
 from .mesh import (make_mesh, batch_sharding, replicated, shard_batch,
-                   replicate, initialize_multihost, DATA_AXIS)
+                   replicate, initialize_multihost, select_devices, DATA_AXIS)

@@ -20,6 +20,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def select_devices(indices: Optional[Sequence[int]] = None):
+    """``jax.devices()`` subset by local index — the reference's ``--gpus``
+    device list (ssn_opts.py:60, ssn_test.py:52). None selects all."""
+    devs = jax.devices()
+    if indices is None:
+        return devs
+    return [devs[i] for i in indices]
+
+
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) -> Mesh:
     """1-D data-parallel mesh over the given (default: all) devices."""
     devices = list(devices) if devices is not None else jax.devices()

@@ -27,11 +27,12 @@ def test_train_test_eval_pipeline(workdir, monkeypatch):
     from action_detection_tpu.cli.ssn_test import main as test_main
     from action_detection_tpu.cli.eval_detection_results import main as eval_main
 
-    # 1. train one tiny epoch
+    # 1. train one tiny epoch (on an explicit 2-device subset: the
+    # reference's --gpus list, ssn_opts.py:60)
     train_main(["thumos14", "RGB", "--arch", "TinyConv", "--synthetic_data",
                 "-b", "2", "--epochs", "1", "--tem", "1", "-j", "1",
                 "--prop_file_dir", str(workdir), "--lr", "0.001",
-                "--print-freq", "1", "--dropout", "0.0"])
+                "--print-freq", "1", "--dropout", "0.0", "--gpus", "0", "1"])
     ckpt = "ssn_thumos14_TinyConv_rgb_checkpoint.msgpack"
     assert os.path.exists(ckpt)
 
@@ -39,7 +40,7 @@ def test_train_test_eval_pipeline(workdir, monkeypatch):
     test_main(["thumos14", "RGB", ckpt, "scores.pkl", "--arch", "TinyConv",
                "--synthetic_data", "--prop_file_dir", str(workdir),
                "--frame_interval", "30", "--test_batchsize", "8",
-               "--save_raw_scores", "raw.pkl"])
+               "--save_raw_scores", "raw.pkl", "--gpus", "0", "1"])
     with open("scores.pkl", "rb") as f:
         scores = pickle.load(f)
     assert len(scores) == 2
