@@ -136,11 +136,18 @@ def main(argv=None):
                               precision=jax.lax.Precision.HIGHEST) + head["bias"]
         return model.apply(variables, x, method=BinaryClassifier.score_frames)
 
-    # jit follows the placement of its committed argument, so pinning the
-    # frames pins the computation to the selected device
+    # jit follows the placement of its committed arguments: commit the
+    # weights to the selected device ONCE (re-shipping ~40MB of params per
+    # chunk is exactly the transfer tax infer/scorer.py:106-112 avoids) and
+    # pin each chunk's frames to the same device
     from ..parallel import select_devices
 
     device = select_devices(args.devices)[0]
+    variables = jax.device_put(variables, device)
+    head = jax.device_put(head, device)
+    if quantized is not None:
+        quantized = jax.device_put(quantized, device)
+        act_scales = jax.device_put(act_scales, device)
 
     def score_chunk(frames_u8):
         return score_chunk_impl(variables, quantized, act_scales, head,

@@ -227,6 +227,8 @@ def calibrate_activation_scales(q: QuantizedParams,
     the per-layer dynamic max reduction (a net win at 640-image steps,
     measured r1 and kept).
     """
-    maxes = jax.jit(_calibration_maxes)(q, sample_frames)
+    # one compiled pass + ONE bulk fetch (per-scalar float() would be a
+    # tunnel round-trip per conv layer)
+    maxes = jax.device_get(jax.jit(_calibration_maxes)(q, sample_frames))
     return {name: jnp.asarray(max(float(m), 1e-8) / 127.0, jnp.float32)
             for name, m in maxes.items()}

@@ -26,6 +26,12 @@ def select_devices(indices: Optional[Sequence[int]] = None):
     devs = jax.devices()
     if indices is None:
         return devs
+    if len(set(indices)) != len(indices):
+        raise ValueError(f"duplicate device indices in --gpus: {list(indices)}")
+    bad = [i for i in indices if not 0 <= i < len(devs)]
+    if bad:
+        raise ValueError(f"device indices {bad} out of range: "
+                         f"{len(devs)} local devices available")
     return [devs[i] for i in indices]
 
 
