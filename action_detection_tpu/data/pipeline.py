@@ -291,16 +291,19 @@ class PrefetchLoader:
     def _produce(self):
         from collections import deque
 
-        pending = deque()
-        for i in range(self.num_batches):
-            pending.append(self.pool.submit(self.make_batch, i))
-            # keep only a small window in flight; put() blocks on the bounded
-            # queue, throttling submission
-            while len(pending) > self.num_threads:
+        try:
+            pending = deque()
+            for i in range(self.num_batches):
+                pending.append(self.pool.submit(self.make_batch, i))
+                # keep only a small window in flight; put() blocks on the
+                # bounded queue, throttling submission
+                while len(pending) > self.num_threads:
+                    self.queue.put(pending.popleft().result())
+            while pending:
                 self.queue.put(pending.popleft().result())
-        while pending:
-            self.queue.put(pending.popleft().result())
-        self.queue.put(None)
+            self.queue.put(None)
+        except BaseException as e:  # propagate to the consumer, never hang it
+            self.queue.put(e)
 
     def __iter__(self):
         if not self._started:
@@ -310,4 +313,9 @@ class PrefetchLoader:
             item = self.queue.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                # a worker batch failed (e.g. missing/corrupt frame file):
+                # surface it on the consuming thread instead of hanging the
+                # epoch loop (the reference's daemon workers hang, SURVEY §5.3)
+                raise item
             yield item

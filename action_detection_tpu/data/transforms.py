@@ -55,7 +55,9 @@ class GroupCenterCrop:
         self.size = (size, size) if isinstance(size, numbers.Number) else size
 
     def __call__(self, img_group, rng=None):
-        tw, th = self.size
+        # size tuples are (height, width) — torchvision/reference convention
+        # (reference transforms.py:27 'th, tw = self.size')
+        th, tw = self.size
         out = []
         for img in img_group:
             w, h = img.size
@@ -71,7 +73,8 @@ class GroupRandomCrop:
 
     def __call__(self, img_group, rng: np.random.RandomState):
         w, h = img_group[0].size
-        tw, th = self.size
+        # (height, width) tuple order, as in the reference (transforms.py:27)
+        th, tw = self.size
         x1 = rng.randint(0, w - tw + 1)
         y1 = rng.randint(0, h - th + 1)
         out = []

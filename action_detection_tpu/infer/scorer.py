@@ -33,7 +33,7 @@ from ..data.transforms import (Compose, GroupScale, device_oversample,
 from ..models.backbones import InputSpec
 from ..models.ssn import SSN, fuse_test_heads
 from ..ops.stpp import (ReorganizedScoreLayout, StppConfig,
-                        reorganized_stpp_pool)
+                        reference_part_bounds, reorganized_stpp_pool)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -198,14 +198,15 @@ class ProposalScorer:
                                      frames_u8, n_stacks=n_stacks)
 
     def _pool_impl(self, frame_scores, prop_ticks, prop_scaling, num_frames,
-                   reg_stats):
+                   reg_stats, part_bounds):
         # measured on chip (r2): the XLA cumsum+gather pool is dispatch-bound
         # at ~20-27us for every realistic (T, P); a hand Pallas kernel lost at
         # all sizes (26-56us) and was deleted -- the pool is ~2% of a step
         act, comp, reg = reorganized_stpp_pool(frame_scores, prop_ticks,
                                                prop_scaling, self.layout,
                                                self.stpp,
-                                               num_frames=num_frames)
+                                               num_frames=num_frames,
+                                               part_bounds=part_bounds)
         if reg is not None and reg_stats is not None:
             reg = reg.reshape(-1, self.num_class, 2)
             reg = reg * reg_stats[1] + reg_stats[0]
@@ -214,8 +215,12 @@ class ProposalScorer:
     def _pool(self, frame_scores, prop_ticks, prop_scaling, num_frames):
         stats = (jnp.asarray(self.reg_stats, jnp.float32)
                  if self.reg_stats is not None else None)
+        # part bounds ride the reference's float64 arange pipeline on HOST
+        # (bit parity; no in-graph formula reproduces arange accumulation) —
+        # ticks are host data anyway, this costs one small extra transfer
+        pl, pr = reference_part_bounds(np.asarray(prop_ticks), self.stpp)
         return self._pool_jit(frame_scores, prop_ticks, prop_scaling,
-                              num_frames, stats)
+                              num_frames, stats, (pl, pr))
 
     # --- host orchestration ---
 
@@ -271,9 +276,9 @@ class ProposalScorer:
         scal = np.zeros((P_padded, 2), dtype=np.float32)
         scal[:P] = sample.prop_scaling
 
-        act, comp, reg = self._pool(jnp.asarray(frame_scores),
-                                    jax.device_put(ticks, self.device),
-                                    jax.device_put(scal, self.device),
+        # ticks/scal stay host numpy into _pool: the part bounds are computed
+        # from them on host, and jit places them on frame_scores' device
+        act, comp, reg = self._pool(jnp.asarray(frame_scores), ticks, scal,
                                     jnp.asarray(T, jnp.int32))
         act = np.asarray(act)[:P]
         comp = np.asarray(comp)[:P]

@@ -22,9 +22,11 @@ Design notes (this is the core re-design, not a translation):
   pads cleanly to static frame buckets (rows past the real frame count never
   enter any gather because tick indices are bounded by the real count).
 
-Integer tick semantics (floor of float stage subdivisions, stage skipping when
-the stage lies outside the scored range, ``right = max(left+1, next_tick)``)
-follow the reference exactly; see the unit tests for the oracle comparison.
+Integer tick semantics (the reference's float64 ``np.arange`` stage
+subdivision with ``int()`` truncation, stage skipping when the stage lies
+outside the scored range, ``right = max(left+1, next_tick)``) follow the
+reference bit-for-bit via host-computed part bounds
+(:func:`reference_part_bounds`); see tests/test_reference_oracle.py.
 """
 
 from __future__ import annotations
@@ -194,31 +196,82 @@ def reorganized_score_slices(layout: ReorganizedScoreLayout):
     return act, comp, reg
 
 
-def _part_bounds(prop_ticks: jnp.ndarray, cfg: StppConfig, num_frames: int):
-    """Per-(proposal, part) [pl, pr) row bounds + validity, vectorized.
+def reference_part_bounds(prop_ticks: np.ndarray, cfg: StppConfig):
+    """Host-side per-(proposal, part) [pl, pr) bounds, bit-exact vs reference.
 
-    Replicates the reference tick arithmetic: for stage s,
-    ``left = ticks[s]``, ``right = max(ticks[s]+1, ticks[s+1])``; the stage is
-    skipped when ``right <= 0`` or ``left >= num_frames``; a part contributes
-    only when ``pr - pl >= 1``.
+    The reference computes part boundaries as
+    ``int(np.arange(left, right + 1e-5, (right - left) / n_part)[k])``
+    (ops/ssn_ops.py:144-147). ``np.arange`` fills by *accumulating* the
+    float64 step with per-element rounding, so e.g. span 7 / 3 parts ends at
+    23.999999999999996 -> int 23 (NOT the rational 24) while span 2 / 3 parts
+    ends at 22.000000000000004 -> 22. No closed-form integer or float32
+    formula reproduces this, so the literal float64 pipeline runs here on
+    host — proposal ticks are host data before they ever ship to the device.
+    Returns (pl, pr) int32 arrays of shape (P, J).
+    """
+    ticks = np.asarray(prop_ticks)
+    table = cfg.part_table()
+    P, J = ticks.shape[0], len(table)
+    pl = np.zeros((P, J), np.int32)
+    pr = np.zeros((P, J), np.int32)
+    memo = {}
+    for j, (s, n_part, k) in enumerate(table):
+        for p in range(P):
+            left = int(ticks[p, s])
+            right = max(left + 1, int(ticks[p, s + 1]))
+            key = (left, right, n_part)
+            bounds = memo.get(key)
+            if bounds is None:
+                part_ticks = np.arange(left, right + 1e-5,
+                                       (right - left) / n_part)
+                bounds = memo[key] = [int(x) for x in part_ticks]
+            pl[p, j] = bounds[k]
+            pr[p, j] = bounds[k + 1]
+    return pl, pr
+
+
+def _part_bounds_rational(prop_ticks: jnp.ndarray, cfg: StppConfig):
+    """In-graph [pl, pr) bounds: exact rational truncation toward zero.
+
+    Used only when the ticks are traced (no host values available). Matches
+    :func:`reference_part_bounds` except where the reference's float64
+    arange accumulation itself deviates from exact rational arithmetic
+    (non-power-of-two part counts whose final boundary lands a hair below
+    the integer — see reference_part_bounds); prefer passing host-computed
+    bounds via ``part_bounds=`` for bit parity.
     """
     table = cfg.part_table()
     stage_idx = jnp.asarray([t[0] for t in table], dtype=jnp.int32)      # (J,)
-    n_part = jnp.asarray([t[1] for t in table], dtype=jnp.float32)
-    part_i = jnp.asarray([t[2] for t in table], dtype=jnp.float32)
+    n_part = jnp.asarray([t[1] for t in table], dtype=jnp.int32)
+    part_i = jnp.asarray([t[2] for t in table], dtype=jnp.int32)
 
-    ticks = prop_ticks.astype(jnp.float32)                               # (P, 4)
+    ticks = prop_ticks.astype(jnp.int32)                                 # (P, 4)
     left = jnp.take(ticks, stage_idx, axis=1)                            # (P, J)
     nxt = jnp.take(ticks, stage_idx + 1, axis=1)
-    right = jnp.maximum(left + 1.0, nxt)
+    right = jnp.maximum(left + 1, nxt)
 
+    def trunc_div(num, den):
+        # rational truncation toward zero (Python int(); // floors)
+        return jnp.where(num >= 0, num // den, -((-num) // den))
+
+    span = right - left
+    n = n_part[None, :]
+    pl = trunc_div(left * n + part_i[None, :] * span, n)
+    pr = trunc_div(left * n + (part_i[None, :] + 1) * span, n)
+    return pl, pr
+
+
+def _part_validity(prop_ticks, pl, pr, cfg: StppConfig, num_frames):
+    """Stage skip rule (right<=0 or left>=num_frames, ssn_ops.py:140) and the
+    per-part pr-pl>=1 rule, computed in-graph so num_frames can be traced."""
+    table = cfg.part_table()
+    stage_idx = jnp.asarray([t[0] for t in table], dtype=jnp.int32)
+    ticks = prop_ticks.astype(jnp.int32)
+    left = jnp.take(ticks, stage_idx, axis=1)
+    nxt = jnp.take(ticks, stage_idx + 1, axis=1)
+    right = jnp.maximum(left + 1, nxt)
     stage_valid = (right > 0) & (left < num_frames)
-
-    step = (right - left) / n_part[None, :]
-    pl = jnp.floor(left + step * part_i[None, :]).astype(jnp.int32)
-    pr = jnp.floor(left + step * (part_i[None, :] + 1.0)).astype(jnp.int32)
-    part_valid = stage_valid & ((pr - pl) >= 1)
-    return pl, pr, part_valid, stage_idx
+    return stage_valid & ((pr - pl) >= 1), stage_idx
 
 
 def _pool_block(cs: jnp.ndarray, pl: jnp.ndarray, pr: jnp.ndarray,
@@ -245,7 +298,7 @@ def _pool_block(cs: jnp.ndarray, pl: jnp.ndarray, pr: jnp.ndarray,
 def reorganized_stpp_pool(scores: jnp.ndarray, prop_ticks: jnp.ndarray,
                           prop_scaling: jnp.ndarray,
                           layout: ReorganizedScoreLayout, cfg: StppConfig,
-                          num_frames=None):
+                          num_frames=None, part_bounds=None):
     """Pool per-frame fused scores into per-proposal (act, comp, reg) scores.
 
     Args:
@@ -257,6 +310,11 @@ def reorganized_stpp_pool(scores: jnp.ndarray, prop_ticks: jnp.ndarray,
       layout: fused-score column layout.
       cfg: pyramid structure.
       num_frames: real (unpadded) number of scored frames; defaults to ``T``.
+      part_bounds: optional host-precomputed ``(pl, pr)`` from
+        :func:`reference_part_bounds`. When None and ``prop_ticks`` is
+        concrete (host data), bounds are computed with the bit-exact host
+        formula automatically; traced ticks fall back to the rational
+        in-graph formula (see _part_bounds_rational).
 
     Returns:
       ``(act (P, act_len), comp (P, comp_len), reg (P, reg_len) or None)``.
@@ -267,7 +325,14 @@ def reorganized_stpp_pool(scores: jnp.ndarray, prop_ticks: jnp.ndarray,
     act_slice, comp_slice, reg_slice = reorganized_score_slices(layout)
     J = layout.feat_multiplier
 
-    pl, pr, valid, stage_idx = _part_bounds(prop_ticks, cfg, num_frames)
+    if part_bounds is None and not isinstance(prop_ticks, jax.core.Tracer):
+        part_bounds = reference_part_bounds(np.asarray(prop_ticks), cfg)
+    if part_bounds is not None:
+        pl = jnp.asarray(part_bounds[0], jnp.int32)
+        pr = jnp.asarray(part_bounds[1], jnp.int32)
+    else:
+        pl, pr = _part_bounds_rational(prop_ticks, cfg)
+    valid, stage_idx = _part_validity(prop_ticks, pl, pr, cfg, num_frames)
     scale_sel = jnp.stack([prop_scaling[:, 0],
                            jnp.ones_like(prop_scaling[:, 0]),
                            prop_scaling[:, 1]], axis=1)        # (P, 3)

@@ -235,7 +235,38 @@ def test_scale_and_center_crop():
     assert out[0].size == (224, 224)
 
 
+def test_crop_tuple_size_is_height_width():
+    """Tuple sizes follow the torchvision/reference (h, w) convention
+    (reference transforms.py:27 'th, tw = self.size')."""
+    from action_detection_tpu.data.transforms import GroupRandomCrop
+
+    group = _color_group(1, w=400, h=300)
+    out = GroupCenterCrop((100, 50))(group)
+    assert out[0].size == (50, 100)          # PIL size is (w, h)
+    out = GroupRandomCrop((100, 50))(group, np.random.RandomState(0))
+    assert out[0].size == (50, 100)
+
+
 # ---------- pipeline ----------
+
+
+def test_prefetch_loader_propagates_batch_errors():
+    """A failing batch (e.g. corrupt frame file) must raise on the consumer,
+    not kill the producer thread and hang the epoch loop forever."""
+    import pytest
+
+    from action_detection_tpu.data.pipeline import PrefetchLoader
+
+    def make_batch(i):
+        if i == 1:
+            raise ValueError("decode failed")
+        return {"i": np.asarray(i)}
+
+    loader = PrefetchLoader(make_batch, num_batches=4, prefetch=1,
+                            num_threads=1)
+    with pytest.raises(ValueError, match="decode failed"):
+        for _ in loader:
+            pass
 
 
 def test_assemble_train_batch_shapes(prop_file):

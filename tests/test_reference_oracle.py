@@ -108,7 +108,13 @@ def _test_ticks(rng, n_props, num_sampled):
             np.asarray(scalings, dtype=np.float32))
 
 
-@pytest.mark.parametrize("cfg", [(1, 1, 1), (1, (1, 2), 1)])
+@pytest.mark.parametrize("cfg", [
+    (1, 1, 1), (1, (1, 2), 1),
+    # non-power-of-two part counts: the float64 arange+int() boundary math
+    # (ssn_ops.py:144-147) rounds differently from a float32 closed form —
+    # these pin the exact-rational trunc arithmetic in ops/stpp._part_bounds
+    (2, 3, 2), (1, (3, 5), 1), (1, 7, 1),
+])
 def test_stpp_reorganized_matches_reference(ref, cfg):
     from action_detection_tpu.ops.stpp import (ReorganizedScoreLayout,
                                                StppConfig,
