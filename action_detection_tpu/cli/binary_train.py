@@ -109,7 +109,8 @@ def main(argv=None):
                       new_stats)
 
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
-    tx = make_optimizer(base_lr=args.lr, lr_steps=args.lr_steps,
+    tx = make_optimizer(start_epoch=args.start_epoch,
+                        base_lr=args.lr, lr_steps=args.lr_steps,
                         steps_per_epoch=steps_per_epoch,
                         momentum=args.momentum, weight_decay=args.weight_decay,
                         clip_gradient=args.clip_gradient,

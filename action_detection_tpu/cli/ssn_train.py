@@ -83,12 +83,20 @@ def main(argv=None):
     eval_transform = Compose([GroupScale(spec.scale_size),
                               GroupCenterCrop(spec.input_size)])
 
+    # peek at the resume checkpoint before building the optimizer: the LR
+    # step-decay follows the ABSOLUTE epoch (reference ssn_train.py:391-398)
+    resume_ck = None
+    if args.resume and os.path.isfile(args.resume):
+        resume_ck = load_checkpoint(args.resume)
+    start_epoch = (int(resume_ck["epoch"]) if resume_ck is not None
+                   else args.start_epoch)
+
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
     tx = make_optimizer(base_lr=args.lr, lr_steps=args.lr_steps,
                         steps_per_epoch=steps_per_epoch,
                         momentum=args.momentum, weight_decay=args.weight_decay,
                         clip_gradient=args.clip_gradient,
-                        iter_size=args.iter_size)
+                        iter_size=args.iter_size, start_epoch=start_epoch)
 
     rng = np.random.RandomState(args.seed)
     init_batch = assemble_train_batch(train_ds, [0], provider, augmentation, rng)
@@ -100,13 +108,10 @@ def main(argv=None):
     state = apply_init_weights(state, args, cfg, load_checkpoint)
 
     best_loss = float("inf")
-    start_epoch = args.start_epoch
-    if args.resume and os.path.isfile(args.resume):
-        ck = load_checkpoint(args.resume)
-        state = state.replace(params=ck["params"],
-                              batch_stats=ck["batch_stats"] or None)
-        start_epoch = int(ck["epoch"])
-        best_loss = float(ck["best_loss"])
+    if resume_ck is not None:
+        state = state.replace(params=resume_ck["params"],
+                              batch_stats=resume_ck["batch_stats"] or None)
+        best_loss = float(resume_ck["best_loss"])
         print(f"=> resumed from '{args.resume}' (epoch {start_epoch})")
 
     weights = LossWeights(comp=args.comp_loss_weight, reg=args.reg_loss_weight)

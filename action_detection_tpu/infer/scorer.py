@@ -83,6 +83,14 @@ class ProposalScorer:
         self.chunk_frames = chunk_frames
         self.modality = modality
         self.reg_stats = np.asarray(reg_stats) if reg_stats is not None else None
+        if with_regression and self.reg_stats is None:
+            # the reference fails up front on a checkpoint without reg_stats
+            # (ssn_test.py:129); silently emitting NORMALIZED regression
+            # scores would shift every detection boundary downstream
+            raise ValueError(
+                "with_regression=True requires reg_stats (the checkpoint's "
+                "regression-target normalization); pass with_regression=False "
+                "to score without boundary regression")
         self.num_class = num_class or model.num_class
         self.with_regression = with_regression
         self.device = device or jax.devices()[0]

@@ -45,8 +45,12 @@ def save_checkpoint(path: str, params: Any, reg_stats: np.ndarray,
     os.replace(tmp, path)
     if is_best:
         head, tail = os.path.split(path)
-        shutil.copyfile(path, os.path.join(head, tail.replace("checkpoint",
-                                                              "model_best")))
+        if "checkpoint" in tail:
+            best = tail.replace("checkpoint", "model_best")
+        else:  # arbitrary filename: suffix instead of a same-file copy
+            root, ext = os.path.splitext(tail)
+            best = root + "_model_best" + ext
+        shutil.copyfile(path, os.path.join(head, best))
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:

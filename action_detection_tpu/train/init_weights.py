@@ -63,6 +63,13 @@ def apply_init_weights(state, args, cfg: DatasetConfig,
             state = state.replace(params={**state.params,
                                           "backbone": ck["params"].get(
                                               "backbone", ck["params"])})
+            # frozen-BN backbones are useless without the pretrained running
+            # stats (the reference's load_state_dict carries running_mean/var,
+            # ssn_train.py:42) — graft them alongside the params
+            bk_stats = (ck.get("batch_stats") or {}).get("backbone")
+            if bk_stats and getattr(state, "batch_stats", None) is not None:
+                state = state.replace(batch_stats={**state.batch_stats,
+                                                   "backbone": bk_stats})
         print(f"=> loaded init weights from '{args.init_weights}'")
         return state
 

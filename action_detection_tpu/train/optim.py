@@ -78,19 +78,28 @@ def make_optimizer(base_lr: float, lr_steps: Sequence[float],
                    steps_per_epoch: int, momentum: float = 0.9,
                    weight_decay: float = 5e-4,
                    clip_gradient: Optional[float] = None,
-                   iter_size: int = 1) -> optax.GradientTransformation:
-    """The SSN training optimizer over labeled parameter groups."""
+                   iter_size: int = 1,
+                   start_epoch: int = 0) -> optax.GradientTransformation:
+    """The SSN training optimizer over labeled parameter groups.
+
+    ``start_epoch`` offsets the step-decay schedule for --resume: the
+    reference derives the LR from the ABSOLUTE epoch (ssn_train.py:391-398),
+    so resuming at epoch 25 with lr_steps [20, 40] must start decayed
+    (optax's update count alone would restart the schedule at zero).
+    """
     # under MultiSteps the inner chain's count advances once per APPLIED
     # update, so express epoch boundaries in effective updates
     effective_steps = max(steps_per_epoch // max(iter_size, 1), 1)
     schedule = step_decay_schedule(base_lr, lr_steps, effective_steps)
+    start_count = start_epoch * effective_steps
 
     def sgd_group(lr_mult: float, decay_mult: float) -> optax.GradientTransformation:
         chain = []
         if weight_decay and decay_mult:
             chain.append(optax.add_decayed_weights(weight_decay * decay_mult))
         chain.append(optax.trace(decay=momentum, nesterov=False))
-        chain.append(optax.scale_by_schedule(lambda c: -lr_mult * schedule(c)))
+        chain.append(optax.scale_by_schedule(
+            lambda c: -lr_mult * schedule(c + start_count)))
         return optax.chain(*chain)
 
     transforms = {
@@ -103,7 +112,16 @@ def make_optimizer(base_lr: float, lr_steps: Sequence[float],
     # labels derive from the real param tree at tx.init time
     tx = optax.multi_transform(transforms, label_params)
     if clip_gradient is not None:
-        tx = optax.chain(optax.clip_by_global_norm(clip_gradient), tx)
+        # frozen-BN params never reach the reference optimizer
+        # (ssn_models.py:166-174 sets requires_grad=False), so its
+        # clip_grad_norm global norm excludes them — zero those grads BEFORE
+        # the clip here too, or the norm is systematically inflated
+        def bn_mask(params):
+            labels = label_params(params)
+            return jax.tree_util.tree_map(lambda l: l == "bn_frozen", labels)
+
+        tx = optax.chain(optax.masked(optax.set_to_zero(), bn_mask),
+                         optax.clip_by_global_norm(clip_gradient), tx)
     if iter_size > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=iter_size)
     return tx

@@ -48,6 +48,19 @@ def make_scorer(setup, device=None, crops=10, keep=False):
                           chunk_frames=8, device=device)
 
 
+def test_scorer_requires_reg_stats_for_regression(scorer_setup):
+    """A checkpoint without reg_stats must be rejected up front (the
+    reference crashes on checkpoint['reg_stats'], ssn_test.py:129) rather
+    than silently emitting normalized regression scores."""
+    ds, provider, model, spec, variables, reg_stats = scorer_setup
+    with pytest.raises(ValueError, match="reg_stats"):
+        ProposalScorer(model, variables["params"],
+                       variables.get("batch_stats"), spec, reg_stats=None)
+    # explicit opt-out stays available
+    ProposalScorer(model, variables["params"], variables.get("batch_stats"),
+                   spec, reg_stats=None, with_regression=False).close()
+
+
 def test_score_video_shapes_and_padding_invariance(scorer_setup):
     ds, provider, model, spec, variables, reg_stats = scorer_setup
     scorer = make_scorer(scorer_setup)

@@ -93,6 +93,50 @@ def test_apply_init_weights_kinetics_end_to_end(monkeypatch, tmp_path):
         np.asarray(sd["conv1_7x7_s2_bn.running_mean"]), atol=0)
 
 
+def test_msgpack_init_weights_grafts_batch_stats(tmp_path):
+    """--init_weights with an msgpack checkpoint must carry the BN running
+    stats along with the params — frozen-BN backbones are useless with
+    fresh-init statistics (the reference's load_state_dict carries
+    running_mean/var, ssn_train.py:42)."""
+    import numpy as np
+
+    from action_detection_tpu.config import SamplingConfig
+    from action_detection_tpu.models import SSN
+    from action_detection_tpu.models.backbones import get_backbone
+    from action_detection_tpu.train import (create_train_state, load_checkpoint,
+                                            make_optimizer, save_checkpoint)
+    from action_detection_tpu.train.init_weights import apply_init_weights
+
+    model = SSN(num_class=3, base_model="TinyConv", dropout=0.0)
+    _, _, spec = get_backbone("TinyConv", "RGB")
+    tx = make_optimizer(1e-3, [20], steps_per_epoch=10)
+    rng = np.random.RandomState(0)
+    batch = {"frames": rng.randint(0, 256, (8, 9, 32, 32, 3)).astype(np.uint8),
+             "scaling": np.ones((8, 2), np.float32)}
+    state = create_train_state(model, tx, batch, spec)
+
+    # source checkpoint with distinctive BN stats
+    import jax
+
+    src_stats = jax.tree_util.tree_map(lambda x: np.asarray(x) + 7.0,
+                                       jax.device_get(state.batch_stats))
+    path = str(tmp_path / "init_checkpoint.msgpack")
+    save_checkpoint(path, jax.device_get(state.params), np.zeros((2, 2)),
+                    batch_stats=src_stats)
+
+    class Args:
+        init_weights = path
+        kinetics_pretrain = False
+        arch = "TinyConv"
+        modality = "RGB"
+
+    out = apply_init_weights(state, Args, None, load_checkpoint)
+    got = jax.device_get(out.batch_stats)["backbone"]
+    want = src_stats["backbone"]
+    leaf = next(iter(want))
+    np.testing.assert_allclose(got[leaf]["mean"], want[leaf]["mean"])
+
+
 def test_flow_with_uncached_url_falls_back_gracefully(capsys, monkeypatch,
                                                       tmp_path):
     """BNInception Flow HAS a published flow_init URL; when it is not in the

@@ -63,6 +63,41 @@ def test_step_decay_schedule():
     assert abs(float(sched(40)) - 0.001) < 1e-8
 
 
+def test_resume_start_epoch_offsets_lr_schedule():
+    """--resume past an lr_steps boundary must start at the decayed LR
+    (the reference derives LR from the ABSOLUTE epoch, ssn_train.py:391-398)."""
+    params = {"w": jnp.ones(3)}
+    grads = {"w": jnp.ones(3)}
+
+    def first_update(start_epoch):
+        tx = make_optimizer(base_lr=0.1, lr_steps=[2], steps_per_epoch=4,
+                            weight_decay=0.0, momentum=0.0,
+                            start_epoch=start_epoch)
+        upd, _ = tx.update(grads, tx.init(params), params)
+        return float(upd["w"][0])
+
+    assert abs(first_update(0) + 0.1) < 1e-7       # fresh run: base lr
+    assert abs(first_update(3) + 0.01) < 1e-7      # resumed past boundary
+
+
+def test_clip_global_norm_excludes_frozen_bn():
+    """Frozen-BN grads never reach the reference's clip_grad_norm
+    (requires_grad=False, ssn_models.py:166-174) — a huge BN grad must not
+    shrink the trained params' updates."""
+    params = {"backbone": {"conv2_3x3": {"kernel": jnp.ones(4)},
+                           "conv2_3x3_bn": {"scale": jnp.ones(4)}}}
+    grads = {"backbone": {"conv2_3x3": {"kernel": jnp.full(4, 0.1)},
+                          "conv2_3x3_bn": {"scale": jnp.full(4, 1e3)}}}
+    tx = make_optimizer(base_lr=1.0, lr_steps=[100], steps_per_epoch=1,
+                        weight_decay=0.0, momentum=0.0, clip_gradient=10.0)
+    upd, _ = tx.update(grads, tx.init(params), params)
+    # conv grad norm 0.2 << clip 10 -> update = -lr * grad exactly
+    np.testing.assert_allclose(
+        np.asarray(upd["backbone"]["conv2_3x3"]["kernel"]), -0.1, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(upd["backbone"]["conv2_3x3_bn"]["scale"]), 0.0, atol=0)
+
+
 def test_train_step_decreases_loss_and_freezes_bn(setup):
     ds, sampling, provider, aug, model, spec, batch = setup
     tx = make_optimizer(base_lr=0.001, lr_steps=[100], steps_per_epoch=1,
@@ -150,6 +185,17 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     head, tail = os.path.split(path)
     assert os.path.exists(os.path.join(head, tail.replace("checkpoint",
                                                           "model_best")))
+
+
+def test_best_copy_of_arbitrary_checkpoint_name(tmp_path):
+    """is_best with a path not containing 'checkpoint' must suffix the best
+    copy, not shutil-copy a file onto itself (SameFileError)."""
+    import os
+
+    path = str(tmp_path / "run1.msgpack")
+    save_checkpoint(path, {"w": np.ones(2, np.float32)},
+                    np.zeros((2, 2), np.float32), is_best=True)
+    assert os.path.exists(str(tmp_path / "run1_model_best.msgpack"))
 
 
 def test_orbax_checkpoint_roundtrip(tmp_path, setup):
