@@ -1,7 +1,9 @@
 """Dense actionness scoring CLI (parity target: /root/reference/binary_test.py).
 
-Scores every ``frame_interval``-th frame with the binary classifier and
-pickles {vid: (frames, crops, 2)} raw score arrays for TAG grouping.
+Scores every ``frame_interval``-th frame with the actionness classifier and
+pickles {vid: (frames, crops, num_class)} raw score arrays for TAG grouping
+(num_class = 2 for thumos14, 100 for activitynet1.2 — the reference's
+actionness config).
 """
 
 from __future__ import annotations
@@ -16,6 +18,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("dataset", type=str,
                         choices=["activitynet1.2", "thumos14"])
     parser.add_argument("modality", type=str, choices=["RGB", "Flow", "RGBDiff"])
+    parser.add_argument("subset", type=str,
+                        choices=["training", "validation", "testing"],
+                        help="which proposal list to score (reference "
+                             "binary_test.py:18,41-50: thumos14 "
+                             "validation->train list / testing->test list; "
+                             "activitynet1.2 training->train list / "
+                             "validation->test list)")
     parser.add_argument("weights", type=str)
     parser.add_argument("save_scores", type=str)
     parser.add_argument("--arch", type=str, default="BNInception")
@@ -59,7 +68,11 @@ def main(argv=None):
     from ..train import load_checkpoint
 
     cfg = get_actionness_configs(args.dataset)
-    model = BinaryClassifier(num_class=2, modality=args.modality,
+    # the reference's "binary" model is cfg.num_class-way: 2 for thumos14,
+    # 100 for activitynet1.2 (data/dataset_actionness_cfg.yaml; binary_train
+    # .py:24,33) — TAG grouping then thresholds per foreground class
+    num_class = cfg.num_class
+    model = BinaryClassifier(num_class=num_class, modality=args.modality,
                              base_model=args.arch, dropout=0.0)
     _, _, spec = get_backbone(args.arch, args.modality)
     new_length = 1 if args.modality == "RGB" else 5
@@ -76,8 +89,16 @@ def main(argv=None):
     if ck["batch_stats"]:
         variables["batch_stats"] = ck["batch_stats"]
 
-    test_prop_file = os.path.join(args.prop_file_dir,
-                                  f"{cfg.test_list}_proposal_list.txt")
+    # subset -> proposal list (reference binary_test.py:41-50)
+    subset_lists = ({"validation": cfg.train_list, "testing": cfg.test_list}
+                    if args.dataset == "thumos14" else
+                    {"training": cfg.train_list, "validation": cfg.test_list})
+    if args.subset not in subset_lists:
+        raise SystemExit(f"subset '{args.subset}' is not defined for "
+                         f"{args.dataset} (choose from "
+                         f"{sorted(subset_lists)})")
+    test_prop_file = os.path.join(
+        args.prop_file_dir, f"{subset_lists[args.subset]}_proposal_list.txt")
     dataset = BinaryDataset(test_prop_file, new_length=new_length,
                             test_interval=args.frame_interval)
 
@@ -181,10 +202,18 @@ def main(argv=None):
             n_ticks = chunk.shape[0] // host_crops
             chunk = pad_chunk_ticks(chunk, host_crops, args.test_batchsize)
             scores = np.asarray(score_chunk(chunk))
-            # (crops * ticks, 2) -> (ticks, crops, 2)
-            scores = scores.reshape(args.test_crops, args.test_batchsize, 2)
+            # (crops * ticks, K) -> (ticks, crops, K)
+            scores = scores.reshape(args.test_crops, args.test_batchsize,
+                                    num_class)
             chunks.append(scores[:, :n_ticks].transpose(1, 0, 2))
-        results[sample.video_id] = np.concatenate(chunks, axis=0)[:T]
+        if chunks:
+            results[sample.video_id] = np.concatenate(chunks, axis=0)[:T]
+        else:
+            # video shorter than new_length yields no ticks: keep an empty
+            # entry (the reference stores a zeros array and continues,
+            # binary_test.py:84-94) instead of crashing the whole run
+            results[sample.video_id] = np.zeros(
+                (0, args.test_crops, num_class), np.float32)
         print(f"video {idx} {sample.video_id} done "
               f"({(time.time() - t0) / (idx + 1):.3f} sec/video)", flush=True)
 

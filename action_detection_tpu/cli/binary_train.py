@@ -20,6 +20,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
+
+    if args.coordinator_address:
+        # join the multi-host job before any other jax call (same wiring as
+        # ssn_train; the mesh below spans all global devices)
+        jax.distributed.initialize(coordinator_address=args.coordinator_address,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
     import jax.numpy as jnp
     import optax
 
@@ -37,7 +44,11 @@ def main(argv=None):
     from ..train.trainer import TrainState
 
     cfg = get_actionness_configs(args.dataset)
-    model = BinaryClassifier(num_class=2, course_segment=args.num_body_segments,
+    # head width follows the actionness config (2 for thumos14, 100 for
+    # activitynet1.2 — reference binary_train.py:24,33 / binary_model.py:124);
+    # training targets stay 0/1 fg/bg either way, as in the reference
+    model = BinaryClassifier(num_class=cfg.num_class,
+                             course_segment=args.num_body_segments,
                              modality=args.modality, base_model=args.arch,
                              dropout=args.dropout, bn_mode=args.bn_mode,
                              dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
@@ -48,9 +59,11 @@ def main(argv=None):
                                    f"{cfg.train_list}_proposal_list.txt")
     val_prop_file = os.path.join(args.prop_file_dir,
                                  f"{cfg.test_list}_proposal_list.txt")
+    # NOTE: --tem is accepted (shared parser) but unused here, matching the
+    # reference: its binary_train never applies an epoch multiplier
+    # (binary_train.py:80-94)
     train_ds = BinaryDataset(train_prop_file, body_seg=args.num_body_segments,
                              new_length=new_length,
-                             epoch_multiplier=args.training_epoch_multiplier,
                              verbose=True)
     # validation uses a balanced 6:6 fg/bg split (binary_train.py:101)
     val_ds = (BinaryDataset(val_prop_file, body_seg=args.num_body_segments,
@@ -150,22 +163,56 @@ def main(argv=None):
                              batch_stats=new_stats,
                              opt_state=opt_state), metrics
 
+    best_loss = float("inf")
+    start_epoch = args.start_epoch
+    ckpt_file = checkpoint_name(args.snapshot_pref, args.dataset, args.arch,
+                                args.modality, "binary_checkpoint.msgpack")
+    if args.resume and os.path.isfile(args.resume):
+        ck = load_checkpoint(args.resume)
+        state = state.replace(params=ck["params"],
+                              batch_stats=ck["batch_stats"] or None)
+        start_epoch = int(ck["epoch"])
+        best_loss = float(ck["best_loss"])
+        print(f"=> resumed from '{args.resume}' (epoch {start_epoch})")
+
     mesh = make_mesh(select_devices(args.devices))
     state = replicate(state, mesh)
     key = jax.random.PRNGKey(args.seed)
-    ckpt_file = checkpoint_name(args.snapshot_pref, args.dataset, args.arch,
-                                args.modality, "binary_checkpoint.msgpack")
+
+    # multi-host: each process assembles its slice of the global batch
+    proc_count = jax.process_count()
+    proc_id = jax.process_index()
+    local_bs = args.batch_size // proc_count
+    assert local_bs * proc_count == args.batch_size, \
+        (args.batch_size, proc_count)
+
+    def validate():
+        # full validation pass with the deterministic center-crop transform
+        # (reference binary_train.py:97-110,133-144)
+        v_rng = np.random.RandomState(999)
+        n_val = max(len(val_ds.video_list) // args.batch_size, 1)
+        losses = []
+        for i in range(n_val):
+            idxs = [(i * args.batch_size + j) % len(val_ds.video_list)
+                    for j in range(args.batch_size)]
+            vb = assemble(idxs, v_rng, ds=val_ds, random_shift=False)
+            losses.append(float(eval_step(state, shard_batch(vb, mesh))))
+        return float(np.mean(losses))
 
     order = np.arange(len(train_ds))
-    for epoch in range(args.start_epoch, args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         ep_rng = np.random.RandomState(args.seed * 1000 + epoch)
         ep_rng.shuffle(order)
+        # per-step seeds drawn single-threaded: make_batch runs on a thread
+        # pool and a shared RandomState is not thread-safe
+        step_seeds = ep_rng.randint(2 ** 31, size=steps_per_epoch)
 
         def make_batch(i):
             idxs = order[(i * args.batch_size) % len(order):][:args.batch_size]
             if len(idxs) < args.batch_size:
                 idxs = np.concatenate([idxs, order[:args.batch_size - len(idxs)]])
-            return assemble(idxs, np.random.RandomState(ep_rng.randint(2 ** 31) + i))
+            idxs = idxs[proc_id * local_bs:(proc_id + 1) * local_bs]
+            return assemble(idxs, np.random.RandomState(step_seeds[i]))
 
         loader = PrefetchLoader(make_batch, steps_per_epoch,
                                 num_threads=args.workers)
@@ -178,22 +225,21 @@ def main(argv=None):
                       f"Loss {float(metrics['loss']):.4f} "
                       f"Acc {float(metrics['acc']):.2f}", flush=True)
 
-        if val_ds is not None:
-            v_rng = np.random.RandomState(999)
-            n_val = max(min(len(val_ds), 8) // args.batch_size, 1)
-            val_losses = []
-            for i in range(n_val):
-                idxs = [(i * args.batch_size + j) % len(val_ds.video_list)
-                        for j in range(args.batch_size)]
-                vb = assemble(idxs, v_rng, ds=val_ds, random_shift=False)
-                val_losses.append(float(eval_step(state, shard_batch(vb, mesh))))
-            print(f"Validation: Loss {np.mean(val_losses):.4f}")
+        val_loss = float("nan")
+        is_best = False
+        if val_ds is not None and (epoch + 1) % max(args.eval_freq, 1) == 0:
+            val_loss = validate()
+            is_best = val_loss < best_loss
+            best_loss = min(best_loss, val_loss)
+            print(f"Validation: Loss {val_loss:.4f} (best {best_loss:.4f})")
 
-        save_checkpoint(ckpt_file, jax.device_get(state.params),
-                        np.zeros((2, 2)),
-                        batch_stats=jax.device_get(state.batch_stats),
-                        epoch=epoch + 1, arch=args.arch)
-        print(f"checkpoint saved to {ckpt_file}")
+        if proc_id == 0:
+            save_checkpoint(ckpt_file, jax.device_get(state.params),
+                            np.zeros((2, 2)),
+                            batch_stats=jax.device_get(state.batch_stats),
+                            epoch=epoch + 1, arch=args.arch,
+                            best_loss=best_loss, is_best=is_best)
+            print(f"checkpoint saved to {ckpt_file} (best={is_best})")
 
 
 if __name__ == "__main__":

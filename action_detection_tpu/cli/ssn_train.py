@@ -134,11 +134,14 @@ def main(argv=None):
     assert local_bs * proc_count == args.batch_size, \
         (args.batch_size, proc_count)
 
-    def make_batch_fn(epoch_rng, batch_order):
+    def make_batch_fn(step_seeds, batch_order):
+        # per-step seeds are drawn single-threaded up front: make_batch runs
+        # on the PrefetchLoader's thread pool and a shared RandomState is not
+        # thread-safe (a race would make sampling irreproducible)
         def make_batch(i):
             idxs = batch_order[i * args.batch_size:(i + 1) * args.batch_size]
             idxs = idxs[proc_id * local_bs:(proc_id + 1) * local_bs]
-            local_rng = np.random.RandomState(epoch_rng.randint(2 ** 31) + i)
+            local_rng = np.random.RandomState(step_seeds[i])
             return assemble_train_batch(train_ds, idxs, provider, augmentation,
                                         local_rng)
         return make_batch
@@ -175,7 +178,8 @@ def main(argv=None):
         epoch_rng = np.random.RandomState(args.seed * 1000 + epoch)
         epoch_rng.shuffle(order)
         batch_order = np.tile(order, 2)[:steps_per_epoch * args.batch_size]
-        loader = PrefetchLoader(make_batch_fn(epoch_rng, batch_order),
+        step_seeds = epoch_rng.randint(2 ** 31, size=steps_per_epoch)
+        loader = PrefetchLoader(make_batch_fn(step_seeds, batch_order),
                                 steps_per_epoch, num_threads=args.workers)
         t0 = time.time()
         for i, batch in enumerate(loader):

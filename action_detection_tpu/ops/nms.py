@@ -37,7 +37,10 @@ def temporal_nms_indices(starts: np.ndarray, ends: np.ndarray, scores: np.ndarra
         return _native_nms(starts, ends, scores, float(thresh), float(duration_offset))
 
     durations = ends - starts + duration_offset
-    order = scores.argsort()[::-1]
+    # kind="stable": ties visit the larger original index first, identically
+    # on the numpy and C++ paths (the reference's plain argsort is introsort,
+    # whose tie order is an unspecified implementation detail)
+    order = scores.argsort(kind="stable")[::-1]
     keep = []
     while order.size > 0:
         i = order[0]

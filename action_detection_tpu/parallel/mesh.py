@@ -21,11 +21,15 @@ DATA_AXIS = "data"
 
 
 def select_devices(indices: Optional[Sequence[int]] = None):
-    """``jax.devices()`` subset by local index — the reference's ``--gpus``
-    device list (ssn_opts.py:60, ssn_test.py:52). None selects all."""
-    devs = jax.devices()
+    """Device subset by LOCAL index — the reference's ``--gpus`` device list
+    (ssn_opts.py:60, ssn_test.py:52). None selects all GLOBAL devices (the
+    multi-host default mesh); explicit indices select from this process's
+    ``jax.local_devices()`` (a single-host convenience, like the reference's
+    per-node GPU ids — don't combine --gpus with multi-host runs, where every
+    process must contribute the same mesh)."""
     if indices is None:
-        return devs
+        return jax.devices()
+    devs = jax.local_devices()
     if len(set(indices)) != len(indices):
         raise ValueError(f"duplicate device indices in --gpus: {list(indices)}")
     bad = [i for i in indices if not 0 <= i < len(devs)]

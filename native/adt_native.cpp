@@ -24,11 +24,14 @@ extern "C" {
 int64_t adt_temporal_nms(const double* starts, const double* ends,
                          const double* scores, int64_t n, double thresh,
                          double duration_offset, int64_t* out_indices) {
+  // numpy-fallback parity: argsort()[::-1] = stable ascending sort,
+  // reversed — on tied scores the LARGER original index is visited first
   std::vector<int64_t> order(n);
   std::iota(order.begin(), order.end(), 0);
   std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-    return scores[a] > scores[b];
+    return scores[a] < scores[b];
   });
+  std::reverse(order.begin(), order.end());
 
   std::vector<char> suppressed(n, 0);
   int64_t n_keep = 0;
@@ -44,7 +47,9 @@ int64_t adt_temporal_nms(const double* starts, const double* ends,
                            std::max(starts[i], starts[j]) + duration_offset;
       const double dur_j = ends[j] - starts[j] + duration_offset;
       const double iou = inter / (dur_i + dur_j - inter);
-      if (iou > thresh) suppressed[j] = 1;
+      // keep rule is `iou <= thresh` exactly like the numpy fallback: a NaN
+      // IoU (degenerate zero-length boxes) suppresses on both paths
+      if (!(iou <= thresh)) suppressed[j] = 1;
     }
   }
   return n_keep;

@@ -22,8 +22,10 @@ python gen_proposal_list.py thumos14 "$FRAME_PATH"
 # ---- 1. (alternative) generate TAG proposals from scratch ----
 #   binary actionness model on the sliding-window lists, then grouping:
 # python binary_train.py thumos14 RGB -b 4 --epochs 3 --data_root "$FRAME_PATH"
-# python binary_test.py thumos14 RGB ssn_thumos14_BNInception_rgb_binary_checkpoint.msgpack \
+# python binary_test.py thumos14 RGB testing \
+#     ssn_thumos14_BNInception_rgb_binary_checkpoint.msgpack \
 #     "$WORK/actionness_rgb.pkl" --data_root "$FRAME_PATH"
+#   ('validation' scores the train list instead, for TRAINING proposals)
 # python gen_bottom_up_proposals.py "$WORK/actionness_rgb.pkl" --dataset thumos14 \
 #     --subset test --frame_path "$FRAME_PATH" \
 #     --write_proposals data/thumos14_tag_test_proposal_list.txt

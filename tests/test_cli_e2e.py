@@ -83,8 +83,8 @@ def test_binary_train_and_test_and_tag(workdir, monkeypatch):
     ckpt = "ssn_thumos14_TinyConv_rgb_binary_checkpoint.msgpack"
     assert os.path.exists(ckpt)
 
-    btest(["thumos14", "RGB", ckpt, "binary_scores.pkl", "--arch", "TinyConv",
-           "--synthetic_data", "--prop_file_dir", str(workdir),
+    btest(["thumos14", "RGB", "testing", ckpt, "binary_scores.pkl", "--arch",
+           "TinyConv", "--synthetic_data", "--prop_file_dir", str(workdir),
            "--frame_interval", "30", "--test_batchsize", "8"])
     with open("binary_scores.pkl", "rb") as f:
         bscores = pickle.load(f)
@@ -93,14 +93,25 @@ def test_binary_train_and_test_and_tag(workdir, monkeypatch):
         assert np.isfinite(arr).all()
 
     # device-side 10-crop (default) must match the host-crop path per crop
-    btest(["thumos14", "RGB", ckpt, "binary_scores_host.pkl", "--arch",
-           "TinyConv", "--synthetic_data", "--prop_file_dir", str(workdir),
-           "--frame_interval", "30", "--test_batchsize", "8", "--host_crops"])
+    btest(["thumos14", "RGB", "testing", ckpt, "binary_scores_host.pkl",
+           "--arch", "TinyConv", "--synthetic_data", "--prop_file_dir",
+           str(workdir), "--frame_interval", "30", "--test_batchsize", "8",
+           "--host_crops"])
     with open("binary_scores_host.pkl", "rb") as f:
         hscores = pickle.load(f)
     assert set(hscores) == set(bscores)
     for vid in bscores:
         np.testing.assert_allclose(bscores[vid], hscores[vid], atol=1e-5)
+
+    # 'validation' scores the TRAIN list on thumos14 (the reference's route
+    # for generating TRAINING proposals, binary_test.py:41-44) — 3 fixture
+    # videos there vs 2 in the test list
+    btest(["thumos14", "RGB", "validation", ckpt, "binary_scores_val.pkl",
+           "--arch", "TinyConv", "--synthetic_data", "--prop_file_dir",
+           str(workdir), "--frame_interval", "30", "--test_batchsize", "8"])
+    with open("binary_scores_val.pkl", "rb") as f:
+        vscores = pickle.load(f)
+    assert len(vscores) == 3 and len(bscores) == 2
 
 
 def test_flow_modality_train_and_test(workdir, monkeypatch):

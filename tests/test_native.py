@@ -25,6 +25,22 @@ def test_native_nms_matches_numpy_fallback(monkeypatch):
             np.testing.assert_array_equal(got, want)
 
 
+def test_native_nms_tie_and_degenerate_parity(monkeypatch):
+    """Tied scores follow argsort()[::-1] (larger index first) and a NaN IoU
+    from degenerate zero-length boxes suppresses — both paths identical."""
+    # exact duplicates -> tied scores; zero-length boxes with offset 0 -> NaN
+    starts = np.array([5.0, 5.0, 5.0, 20.0, 20.0, 40.0])
+    ends = np.array([10.0, 10.0, 10.0, 20.0, 20.0, 50.0])
+    scores = np.array([0.5, 0.5, 0.5, 0.9, 0.9, 0.1])
+    for offset in (0.0, 1.0):
+        got = native.nms_indices(starts, ends, scores, 0.4, offset)
+        monkeypatch.setattr(nms_mod, "_native_nms", None)
+        want = nms_mod.temporal_nms_indices(starts, ends, scores, 0.4,
+                                            duration_offset=offset)
+        monkeypatch.setattr(nms_mod, "_native_nms", native.nms_indices)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_native_tag_search_matches_python(monkeypatch):
     rng = np.random.RandomState(1)
     for _ in range(15):
