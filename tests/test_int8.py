@@ -130,6 +130,7 @@ def test_int8_scorer_end_to_end(backbone_setup):
         _, _, spec = get_backbone("BNInception", "RGB")
         scorer = ProposalScorer(model, variables["params"],
                                 variables.get("batch_stats"), spec,
+                                reg_stats=np.array([[0.0, 0.0], [1.0, 1.0]]),
                                 test_crops=1, chunk_frames=4,
                                 quantize=True, calibration_frames=calib)
         # input spec says 224 crops; use tiny transform via spec override
