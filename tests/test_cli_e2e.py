@@ -114,6 +114,49 @@ def test_binary_train_and_test_and_tag(workdir, monkeypatch):
     assert len(vscores) == 3 and len(bscores) == 2
 
 
+def test_anet_actionness_100way_head(workdir, monkeypatch):
+    """activitynet1.2 actionness: the reference's 100-wide head trained on
+    0/1 fg/bg targets (binary_model.py:124), scored to (frames, crops, 100)
+    pickles that TAG grouping thresholds at class column 1."""
+    monkeypatch.chdir(workdir)
+    import shutil
+
+    shutil.copy("thumos14_tag_val_proposal_list.txt",
+                "activitynet1.2_sw_train_proposal_list.txt")
+    shutil.copy("thumos14_tag_test_proposal_list.txt",
+                "activitynet1.2_sw_val_proposal_list.txt")
+
+    from action_detection_tpu.cli.binary_test import main as btest
+    from action_detection_tpu.cli.binary_train import main as btrain
+
+    btrain(["activitynet1.2", "RGB", "--arch", "TinyConv", "--synthetic_data",
+            "--epochs", "1", "-j", "1", "-b", "2", "--prop_file_dir",
+            str(workdir), "--print-freq", "5", "--dropout", "0.0"])
+    ckpt = "ssn_activitynet1.2_TinyConv_rgb_binary_checkpoint.msgpack"
+    assert os.path.exists(ckpt)
+
+    # anet subset mapping: training -> train list, validation -> test list
+    btest(["activitynet1.2", "RGB", "validation", ckpt, "anet_act.pkl",
+           "--arch", "TinyConv", "--synthetic_data", "--prop_file_dir",
+           str(workdir), "--frame_interval", "30", "--test_batchsize", "8"])
+    with open("anet_act.pkl", "rb") as f:
+        scores = pickle.load(f)
+    assert len(scores) == 2
+    for arr in scores.values():
+        assert arr.shape[1:] == (10, 100)
+        assert np.isfinite(arr).all()
+
+    # TAG labeling consumes the 100-wide score matrix (class 0 -> column 1,
+    # exactly as the reference's label_frame_by_threshold with topk_cls=[0])
+    from action_detection_tpu.ops.tag import (build_box_by_search,
+                                              label_frame_by_threshold)
+    mat = next(iter(scores.values())).mean(axis=1)       # (T, 100)
+    labeled = label_frame_by_threshold(mat, [0], bw=3,
+                                       thresh=[0.005, 0.01], multicrop=False)
+    boxes = build_box_by_search(labeled, np.array([0.0, 0.3]))
+    assert isinstance(boxes, list)
+
+
 def test_flow_modality_train_and_test(workdir, monkeypatch):
     """Flow two-stream path: 10-channel stacked flow through train + score."""
     monkeypatch.chdir(workdir)
