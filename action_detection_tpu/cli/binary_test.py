@@ -45,6 +45,20 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--host_crops", action="store_true",
                         help="cut the 10-crop oversample on host instead of "
                              "on device (debugging / parity checks)")
+    parser.add_argument("--use_reference", action="store_true", default=False,
+                        help="load the published ImageNet-init reference "
+                             "actionness checkpoint from the local model "
+                             "cache (weights positional is ignored)")
+    parser.add_argument("--use_kinetics_reference", action="store_true",
+                        default=False,
+                        help="as --use_reference with the Kinetics-init model")
+    parser.add_argument("-j", "--workers", default=None, type=int,
+                        help="host decode threads (the reference's "
+                             "worker-process count; default adapts)")
+    # accepted for reference CLI compatibility; parsed-but-unused there too
+    # (binary_test.py:27-29 — input size comes from the model)
+    parser.add_argument("--input_size", type=int, default=224,
+                        help=argparse.SUPPRESS)
     return parser
 
 
@@ -77,14 +91,22 @@ def main(argv=None):
     _, _, spec = get_backbone(args.arch, args.modality)
     new_length = 1 if args.modality == "RGB" else 5
 
-    if args.weights.endswith((".pth", ".pth.tar", ".pt")):
+    weights = args.weights
+    if args.use_reference or args.use_kinetics_reference:
+        from ..config import resolve_reference_checkpoint
+
+        weights = resolve_reference_checkpoint(
+            args.dataset, args.modality,
+            "ImageNet" if args.use_reference else "Kinetics", args.arch)
+        print(f"using reference model: {weights}")
+    if weights.endswith((".pth", ".pth.tar", ".pt")):
         from ..models.convert import (convert_torch_ssn_checkpoint,
                                       load_torch_checkpoint)
 
-        ck = convert_torch_ssn_checkpoint(load_torch_checkpoint(args.weights),
+        ck = convert_torch_ssn_checkpoint(load_torch_checkpoint(weights),
                                           arch=args.arch)
     else:
-        ck = load_checkpoint(args.weights)
+        ck = load_checkpoint(weights)
     variables = {"params": ck["params"]}
     if ck["batch_stats"]:
         variables["batch_stats"] = ck["batch_stats"]
@@ -178,7 +200,7 @@ def main(argv=None):
     if args.max_num > 0:
         n = min(n, args.max_num)
 
-    decode_pool = make_decode_pool() if use_device_crops else None
+    decode_pool = make_decode_pool(args.workers) if use_device_crops else None
 
     results = {}
     t0 = time.time()
@@ -206,13 +228,17 @@ def main(argv=None):
             scores = scores.reshape(args.test_crops, args.test_batchsize,
                                     num_class)
             chunks.append(scores[:, :n_ticks].transpose(1, 0, 2))
+        # key by the video-id BASENAME (reference binary_test.py:94
+        # id.split('/')[-1]): proposal lists carry frame-folder paths, but
+        # gen_bottom_up_proposals matches scores against dataset-DB ids
+        vid_key = sample.video_id.split("/")[-1]
         if chunks:
-            results[sample.video_id] = np.concatenate(chunks, axis=0)[:T]
+            results[vid_key] = np.concatenate(chunks, axis=0)[:T]
         else:
             # video shorter than new_length yields no ticks: keep an empty
             # entry (the reference stores a zeros array and continues,
             # binary_test.py:84-94) instead of crashing the whole run
-            results[sample.video_id] = np.zeros(
+            results[vid_key] = np.zeros(
                 (0, args.test_crops, num_class), np.float32)
         print(f"video {idx} {sample.video_id} done "
               f"({(time.time() - t0) / (idx + 1):.3f} sec/video)", flush=True)

@@ -85,6 +85,26 @@ def main(argv=None):
         with open(args.dump_detections, "wb") as f:
             pickle.dump(dets, f, pickle.HIGHEST_PROTOCOL)
 
+    # reference side outputs for external analysis scripts
+    # (eval_detection_results.py:189-206): per-class GT and raveled
+    # detection DataFrames, written unconditionally to the working dir
+    import pandas as pd
+
+    all_gt_df = pd.DataFrame(all_gt,
+                             columns=["video-id", "cls", "t-start", "t-end"])
+    gt_by_cls = [all_gt_df[all_gt_df.cls == cls]
+                 .reset_index(drop=True).drop(columns="cls")
+                 for cls in range(num_class)]
+    plain_detections = [
+        pd.DataFrame([[vid, cls] + list(row[:3])
+                      for vid, arr in dets[cls].items() for row in arr.tolist()],
+                     columns=["video-id", "cls", "t-start", "t-end", "score"])
+        for cls in range(num_class)]
+    with open("gt_dump.pc", "wb") as f:
+        pickle.dump(gt_by_cls, f, pickle.HIGHEST_PROTOCOL)
+    with open("pred_dump.pc", "wb") as f:
+        pickle.dump(plain_detections, f, pickle.HIGHEST_PROTOCOL)
+
     iou_range = cfg.iou_range
     ap_values = evaluate_detections(dets, all_gt, num_class, iou_range,
                                     workers=args.ap_workers)

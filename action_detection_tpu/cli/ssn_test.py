@@ -40,6 +40,24 @@ def build_parser() -> argparse.ArgumentParser:
                         help="pack frame ticks from multiple videos into each "
                              "fixed-size device chunk (identical scores, no "
                              "per-video padding compute)")
+    parser.add_argument("--use_reference", action="store_true", default=False,
+                        help="load the published ImageNet-init reference "
+                             "checkpoint from the local model cache "
+                             "(weights positional is ignored; pass 'none')")
+    parser.add_argument("--use_kinetics_reference", action="store_true",
+                        default=False,
+                        help="as --use_reference with the Kinetics-init model")
+    parser.add_argument("-j", "--workers", default=None, type=int,
+                        help="host decode threads per device scorer (the "
+                             "reference's worker-process count; default "
+                             "adapts to the host core count)")
+    # accepted for reference CLI compatibility; the reference parses these
+    # but never uses them at test time (ssn_test.py:23,29 — input size comes
+    # from the model)
+    parser.add_argument("--aug_ratio", type=float, default=0.5,
+                        help=argparse.SUPPRESS)
+    parser.add_argument("--input_size", type=int, default=224,
+                        help=argparse.SUPPRESS)
     return parser
 
 
@@ -63,15 +81,26 @@ def main(argv=None):
                 with_regression=not args.no_regression, stpp_cfg=cfg.stpp)
     _, _, spec = get_backbone(args.arch, args.modality)
 
-    if args.weights.endswith((".pth", ".pth.tar", ".pt")):
+    weights = args.weights
+    if args.use_reference or args.use_kinetics_reference:
+        # published reference model resolved through the local cache
+        # (ssn_test.py:119-125; model_zoo.load_url replaced by the offline
+        # cache since this environment has no egress)
+        from ..config import resolve_reference_checkpoint
+
+        weights = resolve_reference_checkpoint(
+            args.dataset, args.modality,
+            "ImageNet" if args.use_reference else "Kinetics", args.arch)
+        print(f"using reference model: {weights}")
+    if weights.endswith((".pth", ".pth.tar", ".pt")):
         # reference torch checkpoint: convert on the fly
         from ..models.convert import (convert_torch_ssn_checkpoint,
                                       load_torch_checkpoint)
 
-        ck = convert_torch_ssn_checkpoint(load_torch_checkpoint(args.weights),
+        ck = convert_torch_ssn_checkpoint(load_torch_checkpoint(weights),
                                           arch=args.arch)
     else:
-        ck = load_checkpoint(args.weights)
+        ck = load_checkpoint(weights)
     params = ck["params"]
     batch_stats = ck["batch_stats"] or None
     reg_stats = ck.get("reg_stats")
@@ -110,7 +139,8 @@ def main(argv=None):
                               device=device,
                               with_regression=not args.no_regression,
                               quantize=args.int8,
-                              calibration_frames=calibration_frames)
+                              calibration_frames=calibration_frames,
+                              decode_threads=args.workers)
 
     n = len(dataset.video_list)
     if args.max_num > 0:

@@ -164,3 +164,20 @@ def get_reference_model_url(dataset: str, modality: str, init: str,
     with open(os.path.join(_CFG_DIR, "reference_models.yaml")) as f:
         data = yaml.safe_load(f)
     return data[dataset][init][arch][modality]
+
+
+def resolve_reference_checkpoint(dataset: str, modality: str, init: str,
+                                 arch: str) -> str:
+    """--use_reference / --use_kinetics_reference resolution: published
+    trained-checkpoint URL -> local cache path (the reference downloads with
+    model_zoo.load_url, ssn_test.py:119-125; this zero-egress environment
+    resolves against the same cache as resolve_pretrained_init and errors
+    helpfully when the file has not been placed there)."""
+    url = get_reference_model_url(dataset, modality, init, arch)
+    path = os.path.join(pretrained_cache_dir(), url.rsplit("/", 1)[-1])
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"reference checkpoint not cached: {path}\n"
+            f"This environment has no network egress. Download\n  {url}\n"
+            f"out of band and place it at that path (or set $ADT_MODEL_CACHE).")
+    return path

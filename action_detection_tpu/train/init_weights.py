@@ -95,6 +95,16 @@ def apply_init_weights(state, args, cfg: DatasetConfig,
                   f"\n{e}")
             path = None
     else:
+        # the reference's RGB trainers always start from torchvision /
+        # model_zoo ImageNet-pretrained backbones (ssn_models.py:109,123) —
+        # weights its backbone constructors download themselves. There is no
+        # published standalone URL to cache here, so make the difference
+        # LOUD: random init with frozen random BN statistics trains to
+        # garbage on real data.
+        print("=> WARNING: no pretrained backbone init. The reference starts "
+              "RGB training from ImageNet-pretrained weights; pass "
+              "--init_weights <imagenet .pth dump> or --kinetics_pretrain "
+              "for a comparable run (fine for synthetic smoke tests).")
         path = None
     if path is not None:
         state = load_torch_backbone_into_state(state, path, args.arch)

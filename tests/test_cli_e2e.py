@@ -55,6 +55,16 @@ def test_train_test_eval_pipeline(workdir, monkeypatch):
                     "-j", "2"])
     assert ap.shape == (20, 9)
     assert np.isfinite(ap).all()
+    # reference side outputs (eval_detection_results.py:205-206)
+    import pandas as pd
+    with open("gt_dump.pc", "rb") as f:
+        gt_by_cls = pickle.load(f)
+    with open("pred_dump.pc", "rb") as f:
+        plain_detections = pickle.load(f)
+    assert len(gt_by_cls) == 20 and len(plain_detections) == 20
+    assert list(plain_detections[0].columns) == ["video-id", "cls", "t-start",
+                                                 "t-end", "score"]
+    assert isinstance(gt_by_cls[0], pd.DataFrame)
 
     # two-stream fusion path: evaluate the same pickle twice with weights
     ap2 = eval_main(["thumos14", "scores.pkl", "scores.pkl",

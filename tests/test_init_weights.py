@@ -93,6 +93,25 @@ def test_apply_init_weights_kinetics_end_to_end(monkeypatch, tmp_path):
         np.asarray(sd["conv1_7x7_s2_bn.running_mean"]), atol=0)
 
 
+def test_reference_checkpoint_resolver(monkeypatch, tmp_path):
+    """--use_reference resolution: published URL -> cache path, erroring
+    helpfully offline (ssn_test.py:119-125's model_zoo.load_url, cached)."""
+    from action_detection_tpu.config import (get_reference_model_url,
+                                             resolve_reference_checkpoint)
+
+    monkeypatch.setenv("ADT_MODEL_CACHE", str(tmp_path))
+    with pytest.raises(FileNotFoundError) as ei:
+        resolve_reference_checkpoint("thumos14", "RGB", "ImageNet",
+                                     "BNInception")
+    assert "https://" in str(ei.value) and str(tmp_path) in str(ei.value)
+
+    url = get_reference_model_url("thumos14", "RGB", "ImageNet", "BNInception")
+    fname = url.rsplit("/", 1)[-1]
+    (tmp_path / fname).write_bytes(b"x")
+    assert resolve_reference_checkpoint(
+        "thumos14", "RGB", "ImageNet", "BNInception") == str(tmp_path / fname)
+
+
 def test_msgpack_init_weights_grafts_batch_stats(tmp_path):
     """--init_weights with an msgpack checkpoint must carry the BN running
     stats along with the params — frozen-BN backbones are useless with
