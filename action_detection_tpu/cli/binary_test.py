@@ -107,6 +107,14 @@ def main(argv=None):
                                           arch=args.arch)
     else:
         ck = load_checkpoint(weights)
+    if "classifier_fc" not in ck["params"]:
+        # the published reference release ships only SSN detection
+        # checkpoints (reference_models.yaml) — loading one here would crash
+        # the reference too (binary_model has no activity/completeness heads)
+        raise SystemExit(
+            f"'{weights}' is not an actionness checkpoint (no classifier_fc "
+            f"head; it looks like an SSN detection model). Train one with "
+            f"binary_train.py or pass a converted actionness .pth.")
     variables = {"params": ck["params"]}
     if ck["batch_stats"]:
         variables["batch_stats"] = ck["batch_stats"]
@@ -201,6 +209,9 @@ def main(argv=None):
         n = min(n, args.max_num)
 
     decode_pool = make_decode_pool(args.workers) if use_device_crops else None
+    if not use_device_crops and args.workers:
+        print("note: -j/--workers only parallelizes decode on the "
+              "device-crops path; the host-crop transform decodes per chunk")
 
     results = {}
     t0 = time.time()

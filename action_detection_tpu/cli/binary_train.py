@@ -21,12 +21,12 @@ def main(argv=None):
 
     import jax
 
-    if args.coordinator_address:
-        # join the multi-host job before any other jax call (same wiring as
-        # ssn_train; the mesh below spans all global devices)
-        jax.distributed.initialize(coordinator_address=args.coordinator_address,
-                                   num_processes=args.num_processes,
-                                   process_id=args.process_id)
+    # join the multi-host job before any other jax call (no-op single host;
+    # the mesh below spans all global devices)
+    from ..parallel import initialize_multihost
+
+    initialize_multihost(args.coordinator_address, args.num_processes,
+                         args.process_id)
     import jax.numpy as jnp
     import optax
 
@@ -121,8 +121,16 @@ def main(argv=None):
         return loss, ({"loss": loss, "acc": accuracy(logits, batch["labels"])},
                       new_stats)
 
+    # peek at the resume checkpoint before building the optimizer: the LR
+    # step-decay follows the ABSOLUTE epoch (see ssn_train.py)
+    resume_ck = None
+    if args.resume and os.path.isfile(args.resume):
+        resume_ck = load_checkpoint(args.resume)
+    start_epoch = (int(resume_ck["epoch"]) if resume_ck is not None
+                   else args.start_epoch)
+
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
-    tx = make_optimizer(start_epoch=args.start_epoch,
+    tx = make_optimizer(start_epoch=start_epoch,
                         base_lr=args.lr, lr_steps=args.lr_steps,
                         steps_per_epoch=steps_per_epoch,
                         momentum=args.momentum, weight_decay=args.weight_decay,
@@ -164,15 +172,12 @@ def main(argv=None):
                              opt_state=opt_state), metrics
 
     best_loss = float("inf")
-    start_epoch = args.start_epoch
     ckpt_file = checkpoint_name(args.snapshot_pref, args.dataset, args.arch,
                                 args.modality, "binary_checkpoint.msgpack")
-    if args.resume and os.path.isfile(args.resume):
-        ck = load_checkpoint(args.resume)
-        state = state.replace(params=ck["params"],
-                              batch_stats=ck["batch_stats"] or None)
-        start_epoch = int(ck["epoch"])
-        best_loss = float(ck["best_loss"])
+    if resume_ck is not None:
+        state = state.replace(params=resume_ck["params"],
+                              batch_stats=resume_ck["batch_stats"] or None)
+        best_loss = float(resume_ck["best_loss"])
         print(f"=> resumed from '{args.resume}' (epoch {start_epoch})")
 
     mesh = make_mesh(select_devices(args.devices))
@@ -195,6 +200,8 @@ def main(argv=None):
         for i in range(n_val):
             idxs = [(i * args.batch_size + j) % len(val_ds.video_list)
                     for j in range(args.batch_size)]
+            # each process assembles only its slice of the global batch
+            idxs = idxs[proc_id * local_bs:(proc_id + 1) * local_bs]
             vb = assemble(idxs, v_rng, ds=val_ds, random_shift=False)
             losses.append(float(eval_step(state, shard_batch(vb, mesh))))
         return float(np.mean(losses))

@@ -19,12 +19,12 @@ def main(argv=None):
 
     import jax
 
-    if args.coordinator_address:
-        # join the multi-host job before any other jax call (DCN between
-        # hosts, ICI within; the mesh below spans all global devices)
-        jax.distributed.initialize(coordinator_address=args.coordinator_address,
-                                   num_processes=args.num_processes,
-                                   process_id=args.process_id)
+    # join the multi-host job before any other jax call (no-op single host;
+    # DCN between hosts, ICI within; the mesh below spans all global devices)
+    from ..parallel import initialize_multihost
+
+    initialize_multihost(args.coordinator_address, args.num_processes,
+                         args.process_id)
     import jax.numpy as jnp
 
     from ..config import get_configs

@@ -9,6 +9,7 @@
 // Build: make -C native   (produces libadt_native.so)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <numeric>
 #include <vector>
@@ -24,11 +25,15 @@ extern "C" {
 int64_t adt_temporal_nms(const double* starts, const double* ends,
                          const double* scores, int64_t n, double thresh,
                          double duration_offset, int64_t* out_indices) {
-  // numpy-fallback parity: argsort()[::-1] = stable ascending sort,
-  // reversed — on tied scores the LARGER original index is visited first
+  // numpy-fallback parity: stable ascending sort, reversed — on tied scores
+  // the LARGER original index is visited first. NaN scores sort LAST
+  // ascending (numpy convention) and the NaN-aware comparator keeps the
+  // ordering a strict weak order (raw operator< on NaN is not).
   std::vector<int64_t> order(n);
   std::iota(order.begin(), order.end(), 0);
   std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    const bool na = std::isnan(scores[a]), nb = std::isnan(scores[b]);
+    if (na || nb) return !na && nb;  // non-NaN before NaN; NaNs equivalent
     return scores[a] < scores[b];
   });
   std::reverse(order.begin(), order.end());

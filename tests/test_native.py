@@ -29,9 +29,11 @@ def test_native_nms_tie_and_degenerate_parity(monkeypatch):
     """Tied scores follow argsort()[::-1] (larger index first) and a NaN IoU
     from degenerate zero-length boxes suppresses — both paths identical."""
     # exact duplicates -> tied scores; zero-length boxes with offset 0 -> NaN
-    starts = np.array([5.0, 5.0, 5.0, 20.0, 20.0, 40.0])
-    ends = np.array([10.0, 10.0, 10.0, 20.0, 20.0, 50.0])
-    scores = np.array([0.5, 0.5, 0.5, 0.9, 0.9, 0.1])
+    starts = np.array([5.0, 5.0, 5.0, 20.0, 20.0, 40.0, 60.0])
+    ends = np.array([10.0, 10.0, 10.0, 20.0, 20.0, 50.0, 70.0])
+    # tied scores + a NaN score (numpy sorts NaN last ascending -> visited
+    # FIRST after [::-1]; both paths must agree)
+    scores = np.array([0.5, 0.5, 0.5, 0.9, 0.9, 0.1, np.nan])
     for offset in (0.0, 1.0):
         got = native.nms_indices(starts, ends, scores, 0.4, offset)
         monkeypatch.setattr(nms_mod, "_native_nms", None)
