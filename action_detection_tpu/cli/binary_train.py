@@ -156,9 +156,9 @@ def main(argv=None):
 
     @jax.jit
     def eval_step(state, batch):
-        loss, _ = loss_fn(state.params, state.batch_stats, batch,
-                          jax.random.PRNGKey(0), train=False)
-        return loss
+        _, (metrics, _) = loss_fn(state.params, state.batch_stats, batch,
+                                  jax.random.PRNGKey(0), train=False)
+        return metrics
 
     @jax.jit
     def train_step(state, batch, key):
@@ -196,15 +196,18 @@ def main(argv=None):
         # (reference binary_train.py:97-110,133-144)
         v_rng = np.random.RandomState(999)
         n_val = max(len(val_ds.video_list) // args.batch_size, 1)
-        losses = []
+        losses, accs = [], []
         for i in range(n_val):
             idxs = [(i * args.batch_size + j) % len(val_ds.video_list)
                     for j in range(args.batch_size)]
             # each process assembles only its slice of the global batch
             idxs = idxs[proc_id * local_bs:(proc_id + 1) * local_bs]
             vb = assemble(idxs, v_rng, ds=val_ds, random_shift=False)
-            losses.append(float(eval_step(state, shard_batch(vb, mesh))))
-        return float(np.mean(losses))
+            m = eval_step(state, shard_batch(vb, mesh))
+            losses.append(float(m["loss"]))
+            accs.append(float(m["acc"]))
+        # the reference reports validation accuracy too (binary_train.py:133-144)
+        return float(np.mean(losses)), float(np.mean(accs))
 
     order = np.arange(len(train_ds))
     for epoch in range(start_epoch, args.epochs):
@@ -223,22 +226,28 @@ def main(argv=None):
 
         loader = PrefetchLoader(make_batch, steps_per_epoch,
                                 num_threads=args.workers)
+        from ..utils.meters import MeterBank
+
+        bank = MeterBank()
         t0 = time.time()
         for i, batch in enumerate(loader):
             state, metrics = train_step(state, shard_batch(batch, mesh), key)
             if i % args.print_freq == 0:
+                # fetched (and metered) only at print ticks; see ssn_train
+                bank.update({k: float(v) for k, v in metrics.items()})
                 print(f"Epoch: [{epoch}][{i}/{steps_per_epoch}] "
                       f"Time {(time.time() - t0) / (i + 1):.3f} "
-                      f"Loss {float(metrics['loss']):.4f} "
-                      f"Acc {float(metrics['acc']):.2f}", flush=True)
+                      f"Loss {bank['loss']:.4f} "
+                      f"Acc {bank['acc']:.2f}", flush=True)
 
         val_loss = float("nan")
         is_best = False
         if val_ds is not None and (epoch + 1) % max(args.eval_freq, 1) == 0:
-            val_loss = validate()
+            val_loss, val_acc = validate()
             is_best = val_loss < best_loss
             best_loss = min(best_loss, val_loss)
-            print(f"Validation: Loss {val_loss:.4f} (best {best_loss:.4f})")
+            print(f"Validation: Loss {val_loss:.4f} Acc {val_acc:.2f} "
+                  f"(best {best_loss:.4f})")
 
         if proc_id == 0:
             save_checkpoint(ckpt_file, jax.device_get(state.params),

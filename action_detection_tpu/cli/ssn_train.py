@@ -181,6 +181,11 @@ def main(argv=None):
         step_seeds = epoch_rng.randint(2 ** 31, size=steps_per_epoch)
         loader = PrefetchLoader(make_batch_fn(step_seeds, batch_order),
                                 steps_per_epoch, num_threads=args.workers)
+        # running val (avg) meters, the reference's AverageMeter print style
+        # (ssn_train.py:259-275)
+        from ..utils.meters import MeterBank
+
+        bank = MeterBank()
         t0 = time.time()
         for i, batch in enumerate(loader):
             if args.trace_dir and epoch == start_epoch and i == 1:
@@ -195,26 +200,32 @@ def main(argv=None):
             state, metrics = train_step(state, shard_batch(batch, mesh),
                                         dropout_key)
             if i % args.print_freq == 0:
-                dt = time.time() - t0
+                # metrics are fetched (and metered) only at print ticks — a
+                # per-step host fetch would sync the dispatch queue every step
+                bank.update({k: float(v) for k, v in metrics.items()})
                 print(f"Epoch: [{epoch}][{i}/{steps_per_epoch}] "
-                      f"Time {dt / (i + 1):.3f} "
-                      f"Loss {float(metrics['loss']):.4f} "
-                      f"Act {float(metrics['act_loss']):.3f} "
-                      f"Comp {float(metrics['comp_loss']):.3f} "
-                      f"Reg {float(metrics.get('reg_loss', 0.0)):.3f} "
-                      f"FG {float(metrics['fg_acc']):.2f} "
-                      f"BG {float(metrics['bg_acc']):.2f}", flush=True)
+                      f"Time {(time.time() - t0) / (i + 1):.3f} "
+                      f"Loss {bank['loss']:.4f} "
+                      f"Act {bank['act_loss']:.3f} "
+                      f"Comp {bank['comp_loss']:.3f} "
+                      f"Reg {bank['reg_loss']:.3f} "
+                      f"FG {bank['fg_acc']:.2f} "
+                      f"BG {bank['bg_acc']:.2f}", flush=True)
 
         if (epoch + 1) % args.eval_freq == 0 or epoch == args.epochs - 1:
             loss = validate()
             is_best = loss < best_loss
             best_loss = min(loss, best_loss)
-            save_checkpoint(ckpt_file, jax.device_get(state.params),
-                            train_ds.stats,
-                            batch_stats=jax.device_get(state.batch_stats),
-                            epoch=epoch + 1, arch=args.arch,
-                            best_loss=best_loss, is_best=is_best)
-            print(f"checkpoint saved to {ckpt_file} (best={is_best})")
+            if proc_id == 0:
+                # only process 0 writes: same-path os.replace from N hosts on
+                # a shared filesystem can interleave tmp files (the loss is
+                # already all-reduced, so every process agrees on best_loss)
+                save_checkpoint(ckpt_file, jax.device_get(state.params),
+                                train_ds.stats,
+                                batch_stats=jax.device_get(state.batch_stats),
+                                epoch=epoch + 1, arch=args.arch,
+                                best_loss=best_loss, is_best=is_best)
+                print(f"checkpoint saved to {ckpt_file} (best={is_best})")
 
 
 if __name__ == "__main__":

@@ -232,9 +232,32 @@ class ProposalScorer:
 
     # --- host orchestration ---
 
+    def _empty_scored(self, sample: TestSample,
+                      keep_raw: bool = False) -> ScoredVideo:
+        """Zero-score result for a video with no frame ticks.
+
+        A video with ``num_frames <= new_length`` yields an empty tick array
+        (data/ssn_dataset.py:372) — reachable on real THUMOS shorts with
+        Flow's new_length=5. The reference's SSN path would crash here too;
+        the binary harness's empty-entry behavior (binary_test.py:84-94 via
+        our cli/binary_test.py) is the model: emit zeros and continue.
+        """
+        P = sample.prop_ticks.shape[0]
+        K = self.num_class
+        D = self.layout.total_cols
+        return ScoredVideo(
+            video_id=sample.video_id, rel_props=sample.rel_props,
+            act_scores=np.zeros((P, K + 1), np.float32),
+            comp_scores=np.zeros((P, K), np.float32),
+            reg_scores=(np.zeros((P, K, 2), np.float32)
+                        if self.with_regression else None),
+            raw_scores=np.zeros((0, D), np.float32) if keep_raw else None)
+
     def score_video(self, sample: TestSample, provider,
                     keep_raw: bool = False) -> ScoredVideo:
         """Score every sampled frame, pool per proposal, denormalize regression."""
+        if len(sample.frame_ticks) == 0:
+            return self._empty_scored(sample, keep_raw=keep_raw)
         if self.device_crops:
             # host only decodes+rescales (in parallel); crops are cut on device
             chunks = iter_scaled_frame_chunks(
@@ -368,6 +391,8 @@ class ProposalScorer:
                 mats[si][row] = host[r]
         return [self._pool_video(s, mats[si], len(s.frame_ticks),
                                  keep_raw=keep_raw)
+                if mats[si] is not None            # zero-tick videos had no jobs
+                else self._empty_scored(s, keep_raw=keep_raw)
                 for si, s in enumerate(samples)]
 
 

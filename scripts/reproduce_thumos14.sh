@@ -27,7 +27,7 @@ python gen_proposal_list.py thumos14 "$FRAME_PATH"
 #     "$WORK/actionness_rgb.pkl" --data_root "$FRAME_PATH"
 #   ('validation' scores the train list instead, for TRAINING proposals)
 # python gen_bottom_up_proposals.py "$WORK/actionness_rgb.pkl" --dataset thumos14 \
-#     --subset test --frame_path "$FRAME_PATH" \
+#     --subset testing --frame_path "$FRAME_PATH" \
 #     --write_proposals data/thumos14_tag_test_proposal_list.txt
 
 # ---- 2. train both streams (reference recipe: b=16, lr steps 20/40, 45 ep) ----

@@ -246,6 +246,37 @@ def test_score_videos_propagates_worker_errors(scorer_setup):
         score_videos(bad_factory, ds, provider, devices=jax.devices()[:2])
 
 
+def test_zero_tick_video_scores_empty(scorer_setup):
+    """A video with num_frames <= new_length has an empty tick array
+    (data/ssn_dataset.py:372, reachable on THUMOS shorts with Flow's
+    new_length=5); the scorer must emit zero scores instead of crashing
+    on jnp.concatenate([]) — mirroring cli/binary_test.py's empty entry."""
+    from action_detection_tpu.data.ssn_dataset import TestSample
+
+    ds, provider, model, spec, variables, reg_stats = scorer_setup
+    scorer = make_scorer(scorer_setup)
+    sample = TestSample(video_id="tiny_video",
+                        frame_ticks=np.zeros((0,), np.int64),
+                        num_frames=3,
+                        rel_props=np.array([[0.1, 0.9], [0.2, 0.5]]),
+                        prop_ticks=np.zeros((2, 4), np.int64),
+                        prop_scaling=np.ones((2, 2), np.float32))
+    out = scorer.score_video(sample, provider, keep_raw=True)
+    assert out.act_scores.shape == (2, K + 1) and (out.act_scores == 0).all()
+    assert out.comp_scores.shape == (2, K)
+    assert out.reg_scores.shape == (2, K, 2)
+    assert out.raw_scores.shape == (0, scorer.layout.total_cols)
+
+    # the packed path must survive a zero-tick video mixed with normal ones
+    normal = ds.get_test_sample(0)
+    packed = scorer.score_video_pack([sample, normal], provider)
+    assert packed[0].act_scores.shape == (2, K + 1)
+    assert (packed[0].act_scores == 0).all()
+    single = scorer.score_video(normal, provider)
+    np.testing.assert_allclose(packed[1].act_scores, single.act_scores,
+                               atol=1e-5)
+
+
 def test_generate_detections_external_classifier_mode():
     """cls_score_dict mode keeps only the video's top classes (UntrimmedNets
     filter, eval_detection_results.py:130-145)."""

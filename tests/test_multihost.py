@@ -51,6 +51,44 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def test_checkpoint_writes_guarded_by_process_zero():
+    """Multi-host call discipline: every save_checkpoint call in the trainer
+    CLIs must sit under an `if proc_id == 0` guard — N processes doing
+    same-path os.replace on a shared filesystem can interleave tmp files."""
+    import ast
+    import inspect
+
+    from action_detection_tpu.cli import binary_train, ssn_train
+
+    def guarded_calls(module):
+        tree = ast.parse(inspect.getsource(module))
+        calls = []
+
+        def visit(node, guarded):
+            if isinstance(node, ast.If):
+                src = ast.unparse(node.test)
+                child_guarded = guarded or ("proc_id" in src and "0" in src)
+                for c in ast.iter_child_nodes(node):
+                    visit(c, child_guarded)
+                return
+            if (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Name)
+                    and node.func.id == "save_checkpoint"):
+                calls.append(guarded)
+            for c in ast.iter_child_nodes(node):
+                visit(c, guarded)
+
+        visit(tree, False)
+        return calls
+
+    for module in (ssn_train, binary_train):
+        calls = guarded_calls(module)
+        assert calls, f"no save_checkpoint call found in {module.__name__}"
+        assert all(calls), (
+            f"{module.__name__} has a save_checkpoint call outside the "
+            f"proc_id == 0 guard")
+
+
 # no pytest-timeout in this env; the communicate(timeout=220) below is the
 # real guard against a hung worker
 def test_two_process_data_parallel_step():
