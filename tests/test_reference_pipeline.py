@@ -2,13 +2,25 @@
 
 The strongest north-star proxy available in-environment (VERDICT r1,
 missing item 5): the reference's own ``ssn_models.SSN`` is constructed on CPU
-torch (its unvendored ``model_zoo`` backbone replaced by our torch-twin
-BNInception — built from the architecture table and parity-tested at 1e-4),
-its checkpoint is converted through our converter, and the same pixel stream
-is scored by both:
+torch (its unvendored ``model_zoo`` backbones replaced by our torch twins —
+built from the architecture tables and parity-tested at 1e-4), its checkpoint
+is converted through our converter, and the same pixel stream is scored by
+both:
 
-  reference: test_forward (fused test_fc) -> STPPReorgainzed -> reg denorm
+  reference: test_forward (fused test_fc) -> crop mean -> STPPReorgainzed
+             -> reg denorm                               (ssn_test.py:55-96)
   ours:      ProposalScorer (converted checkpoint) on the same provider
+
+Covered configurations (VERDICT r2 item 2 — the ones that produce the
+published numbers, README.md:299-312):
+
+  * BNInception RGB 1-crop   (the minimal slice)
+  * BNInception RGB 10-crop  (GroupOverSample vs our device_oversample,
+                              ssn_test.py:84 mean over crops)
+  * BNInception Flow 1-crop  (new_length=5, 10-channel first-conv surgery,
+                              ssn_models.py:318-343)
+  * InceptionV3 RGB 1-crop   (299^2, top_cls_fc last layer,
+                              ssn_models.py:133-144)
 
 Agreement here means a real release checkpoint would produce the same
 act/comp/reg scores — and hence the same mAP — through our framework.
@@ -42,22 +54,25 @@ def ref_ssn_module():
     sys.modules.setdefault("torchvision.models", tvm)
 
     # the reference's model_zoo submodule is unvendored (empty dir): back it
-    # with our torch twin, giving it the .fc the reference surgery expects
-    from tests.test_torch_parity import build_torch_bninception
+    # with our torch twins, giving them the last-layer FC the reference
+    # surgery expects (_prepare_ssn swaps it for Identity/Dropout)
+    from tests.test_torch_parity import (build_torch_bninception,
+                                         build_torch_inception_v3)
 
-    def make_twin():
-        twin = build_torch_bninception()
-        twin.fc = torch.nn.Linear(1024, 101)
+    def wrap_twin(twin, fc_name, feat_dim):
+        setattr(twin, fc_name, torch.nn.Linear(feat_dim, 101))
         inner_forward = twin.forward
 
         def forward(x):
-            return twin.fc(inner_forward(x))
+            return getattr(twin, fc_name)(inner_forward(x))
 
         twin.forward = forward
         return twin
 
     mz = types.ModuleType("model_zoo")
-    mz.BNInception = make_twin
+    mz.BNInception = lambda: wrap_twin(build_torch_bninception(), "fc", 1024)
+    mz.InceptionV3 = lambda: wrap_twin(build_torch_inception_v3(),
+                                       "top_cls_fc", 2048)
     sys.modules["model_zoo"] = mz
 
     orig_cuda = torch.Tensor.cuda
@@ -77,23 +92,9 @@ def ref_ssn_module():
         torch.Tensor.cuda = orig_cuda
 
 
-def test_full_scoring_pipeline_matches_reference(ref_ssn_module, tmp_path):
-    from tests.test_datasets import write_proposal_list
-
-    from action_detection_tpu.config import SamplingConfig
-    from action_detection_tpu.data.pipeline import SyntheticFrameProvider
-    from action_detection_tpu.data.ssn_dataset import SSNDataset
-    from action_detection_tpu.data.transforms import (Compose, GroupCenterCrop,
-                                                      GroupScale, Stack)
-    from action_detection_tpu.data.pipeline import load_proposal_frames
-    from action_detection_tpu.infer.scorer import ProposalScorer
-    from action_detection_tpu.models import SSN
-    from action_detection_tpu.models.backbones import get_backbone
-    from action_detection_tpu.models.convert import convert_torch_ssn_checkpoint
-
-    torch.manual_seed(0)
-    ref = ref_ssn_module.SSN(K, 2, 5, 2, "RGB", base_model="BNInception",
-                             dropout=0.0, test_mode=True, stpp_cfg=(1, 1, 1))
+def _randomize(ref):
+    """Give BN running stats and head biases non-trivial values so the
+    comparison exercises running-average semantics, not just weights."""
     with torch.no_grad():
         for m in ref.modules():
             if isinstance(m, torch.nn.BatchNorm2d):
@@ -103,13 +104,85 @@ def test_full_scoring_pipeline_matches_reference(ref_ssn_module, tmp_path):
                 m.bias.normal_(0, 0.02)
         for fc in (ref.activity_fc, ref.completeness_fc, ref.regressor_fc):
             fc.bias.normal_(0, 0.01)
+
+
+def _reference_frame_scores(ref, sample, provider, spec, modality: str,
+                            new_length: int, test_crops: int):
+    """The reference worker's per-frame fused scores: host transform
+    (ssn_test.py:107-117,139-143) -> test_forward -> mean over crops
+    (ssn_test.py:84)."""
+    from action_detection_tpu.data.pipeline import load_proposal_frames
+    from action_detection_tpu.data.transforms import (Compose, GroupCenterCrop,
+                                                      GroupOverSample,
+                                                      GroupScale, Stack)
+
+    if test_crops == 1:
+        cropping = Compose([GroupScale(spec.scale_size),
+                            GroupCenterCrop(spec.input_size)])
+    else:
+        cropping = Compose([GroupOverSample(spec.input_size, spec.scale_size)])
+    channels_per_image = 1 if modality == "Flow" else 3
+    length = channels_per_image * 2 * new_length if modality == "Flow" \
+        else 3 * new_length
+
+    rows = []
+    for tick in sample.frame_ticks:
+        pil = load_proposal_frames(provider, sample.video_id, [tick],
+                                   sample.num_frames, new_length)
+        arr = Stack()(cropping(pil))          # (H, W, C_total) uint8
+        x = arr.astype(np.float32)
+        C = x.shape[2]
+        if spec.bgr and channels_per_image == 3:
+            # the reference's Stack(roll=True) BGR reversal per image
+            x = x.reshape(x.shape[:2] + (-1, 3))[..., ::-1]
+            x = x.reshape(x.shape[:2] + (C,))
+        mean = np.tile(np.asarray(spec.mean, np.float32), C // len(spec.mean))
+        std = np.tile(np.asarray(spec.std, np.float32), C // len(spec.std))
+        x = (x - mean) / std
+        # (C_total, H, W) -> the worker's view(-1, length, H, W)
+        x = x.transpose(2, 0, 1).reshape(test_crops, length,
+                                         x.shape[0], x.shape[1])
+        rows.append(x)
+    tin = torch.from_numpy(np.concatenate(rows))   # (T*crops, length, H, W)
+
+    with torch.no_grad():
+        scores, _ = ref.test_forward(tin)
+    D = scores.shape[1]
+    # per-tick crop mean (row layout here is tick-major with crops contiguous;
+    # the reference's view(num_crop, -1, D).mean(0) is the same average)
+    return scores.view(len(sample.frame_ticks), test_crops, D).mean(dim=1)
+
+
+@pytest.mark.parametrize("arch,modality,test_crops", [
+    ("BNInception", "RGB", 1),
+    ("BNInception", "RGB", 10),
+    ("BNInception", "Flow", 1),
+    ("InceptionV3", "RGB", 1),
+])
+def test_full_scoring_pipeline_matches_reference(ref_ssn_module, tmp_path,
+                                                 arch, modality, test_crops):
+    from tests.test_datasets import write_proposal_list
+
+    from action_detection_tpu.config import SamplingConfig
+    from action_detection_tpu.data.pipeline import SyntheticFrameProvider
+    from action_detection_tpu.data.ssn_dataset import SSNDataset
+    from action_detection_tpu.infer.scorer import ProposalScorer
+    from action_detection_tpu.models import SSN
+    from action_detection_tpu.models.backbones import get_backbone
+    from action_detection_tpu.models.convert import convert_torch_ssn_checkpoint
+
+    torch.manual_seed(0)
+    ref = ref_ssn_module.SSN(K, 2, 5, 2, modality, base_model=arch,
+                             dropout=0.0, test_mode=True, stpp_cfg=(1, 1, 1))
+    _randomize(ref)
     ref.eval()
     ref.prepare_test_fc()
+    new_length = ref.new_length          # 1 RGB / 5 Flow (ssn_models.py:30-33)
 
     reg_stats = np.array([[0.05, -0.1], [0.2, 0.4]], np.float32)
     ckpt = {"state_dict": ref.state_dict(), "reg_stats": reg_stats,
-            "epoch": 7, "arch": "BNInception", "best_loss": 0.5}
-    ours = convert_torch_ssn_checkpoint(ckpt, "BNInception")
+            "epoch": 7, "arch": arch, "best_loss": 0.5}
+    ours = convert_torch_ssn_checkpoint(ckpt, arch)
 
     # fused test FC must agree exactly (transposed layout)
     from action_detection_tpu.models.ssn import fuse_test_heads
@@ -120,35 +193,30 @@ def test_full_scoring_pipeline_matches_reference(ref_ssn_module, tmp_path):
     np.testing.assert_allclose(np.asarray(our_bias),
                                ref.test_fc.bias.detach().numpy(), atol=1e-6)
 
-    # one tiny video, shared pixel stream
+    # one tiny video, shared pixel stream; interval sized to keep the CPU
+    # torch forward cheap (T*crops images through the twin)
+    interval = 300 if test_crops == 10 else 75
     prop_file = write_proposal_list(tmp_path / "p.txt", n_videos=1, seed=3)
-    ds = SSNDataset(prop_file, SamplingConfig(), test_interval=75)
-    provider = SyntheticFrameProvider(width=340, height=256)
+    ds = SSNDataset(prop_file, SamplingConfig(), test_interval=interval,
+                    new_length=new_length)
+    provider = SyntheticFrameProvider(width=340, height=256, modality=modality)
     sample = ds.get_test_sample(0)
     T = len(sample.frame_ticks)
-    assert 2 <= T <= 12, T  # keep the CPU torch fwd cheap
+    assert 2 <= T <= 12, T
 
-    model = SSN(num_class=K, base_model="BNInception", dropout=0.0)
-    _, _, spec = get_backbone("BNInception", "RGB")
+    model = SSN(num_class=K, base_model=arch, modality=modality, dropout=0.0)
+    _, _, spec = get_backbone(arch, modality)
     scorer = ProposalScorer(model, ours["params"],
                             ours["batch_stats"] or None, spec,
                             reg_stats=ours["reg_stats"], num_class=K,
-                            test_crops=1, chunk_frames=4)
+                            test_crops=test_crops, chunk_frames=4,
+                            modality=modality)
     out = scorer.score_video(sample, provider)
 
-    # reference side: same frames through the same host transform, Caffe
-    # normalization, test_forward, STPPReorgainzed, reg denormalization
-    transform = Compose([GroupScale(spec.scale_size),
-                         GroupCenterCrop(spec.input_size)])
-    frames = []
-    for tick in sample.frame_ticks:
-        pil = load_proposal_frames(provider, sample.video_id, [tick],
-                                   sample.num_frames, 1)
-        arr = Stack()(transform(pil))          # (H, W, 3) uint8 RGB
-        bgr = arr[:, :, ::-1].astype(np.float32)
-        bgr -= np.array([104.0, 117.0, 128.0], np.float32)
-        frames.append(bgr.transpose(2, 0, 1))  # CHW
-    tin = torch.from_numpy(np.stack(frames))
+    # reference side: same frames through the reference's own host transform,
+    # test_forward, crop mean, STPPReorgainzed, reg denormalization
+    ref_scores = _reference_frame_scores(ref, sample, provider, spec, modality,
+                                         new_length, test_crops)
 
     sys.path.insert(0, REFERENCE)
     try:
@@ -156,8 +224,6 @@ def test_full_scoring_pipeline_matches_reference(ref_ssn_module, tmp_path):
     finally:
         sys.path.remove(REFERENCE)
 
-    with torch.no_grad():
-        ref_scores, _ = ref.test_forward(tin)
     total = ref_scores.shape[1]
     pool = STPPReorgainzed(total, K + 1, K, 2 * K,
                            standalong_classifier=True, with_regression=True,
