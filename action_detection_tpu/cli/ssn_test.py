@@ -120,15 +120,27 @@ def main(argv=None):
 
     calibration_frames = None
     if args.int8:
-        # calibrate activation scales on frames of the first test video
+        # calibrate activation scales on frames spread across several test
+        # videos (max-abs calibration from one video under-covers the
+        # activation range of the rest)
+        import numpy as np
+
         from ..data.pipeline import iter_test_frame_batches, make_test_transform
 
-        s0 = dataset.get_test_sample(0)
         transform = make_test_transform(spec.input_size, spec.scale_size,
                                         args.test_crops)
-        calibration_frames = next(iter_test_frame_batches(
-            provider, s0.video_id, s0.frame_ticks, s0.num_frames, transform,
-            new_length=model.resolved_new_length, batch_ticks=8))
+        n_vids = len(dataset.video_list)
+        calib_idx = sorted(set(np.linspace(0, n_vids - 1,
+                                           min(8, n_vids)).astype(int)))
+        chunks = []
+        for i in calib_idx:
+            s = dataset.get_test_sample(i)
+            if len(s.frame_ticks) == 0:
+                continue
+            chunks.append(next(iter_test_frame_batches(
+                provider, s.video_id, s.frame_ticks, s.num_frames, transform,
+                new_length=model.resolved_new_length, batch_ticks=1)))
+        calibration_frames = np.concatenate(chunks, axis=0)
 
     def scorer_factory(device):
         return ProposalScorer(model, params, batch_stats, spec,

@@ -124,6 +124,54 @@ def test_binary_train_and_test_and_tag(workdir, monkeypatch):
     assert len(vscores) == 3 and len(bscores) == 2
 
 
+def test_ssn_test_int8_collects_multivideo_calibration(workdir, monkeypatch):
+    """--int8 must calibrate on frames spread across several test videos
+    (one-video max-abs calibration under-covers the activation range).
+    The scorer itself is stubbed — this pins the CLI's calibration plumbing."""
+    monkeypatch.chdir(workdir)
+
+    from action_detection_tpu.infer import scorer as scorer_mod
+    from action_detection_tpu.train import save_checkpoint
+
+    captured = {}
+
+    class FakeScorer:
+        def __init__(self, model, params, batch_stats, spec, **kw):
+            captured["calib"] = kw.get("calibration_frames")
+            captured["quantize"] = kw.get("quantize")
+
+        def close(self):
+            pass
+
+        def score_video(self, sample, provider, keep_raw=False):
+            P = sample.prop_ticks.shape[0]
+            return scorer_mod.ScoredVideo(
+                sample.video_id, sample.rel_props,
+                np.zeros((P, 21), np.float32), np.zeros((P, 20), np.float32),
+                np.zeros((P, 20, 2), np.float32))
+
+    monkeypatch.setattr(scorer_mod, "ProposalScorer", FakeScorer)
+
+    ckpt = "int8_stub_checkpoint.msgpack"
+    save_checkpoint(ckpt, {"w": np.zeros(2, np.float32)},
+                    np.zeros((2, 2), np.float32), epoch=1, arch="BNInception",
+                    best_loss=1.0)
+
+    from action_detection_tpu.cli.ssn_test import main as test_main
+
+    test_main(["thumos14", "RGB", ckpt, "int8_scores.pkl",
+               "--synthetic_data", "--prop_file_dir", str(workdir),
+               "--int8", "--gpus", "0"])
+
+    assert captured["quantize"] is True
+    calib = captured["calib"]
+    # 2 test videos x 1 tick x 10 crops of uint8 input-size frames
+    assert calib is not None and calib.dtype == np.uint8
+    assert calib.shape == (20, 224, 224, 3), calib.shape
+    with open("int8_scores.pkl", "rb") as f:
+        assert len(pickle.load(f)) == 2
+
+
 def test_anet_actionness_100way_head(workdir, monkeypatch):
     """activitynet1.2 actionness: the reference's 100-wide head trained on
     0/1 fg/bg targets (binary_model.py:124), scored to (frames, crops, 100)
