@@ -76,7 +76,7 @@ def main(argv=None):
                                  iter_scaled_frame_chunks,
                                  iter_test_frame_batches, make_decode_pool,
                                  make_test_transform, pad_chunk_ticks)
-    from ..data.transforms import device_oversample, preprocess_frames
+    from ..data.transforms import device_oversample_normed, preprocess_frames
     from ..models import BinaryClassifier
     from ..models.backbones import get_backbone
     from ..train import load_checkpoint
@@ -174,9 +174,13 @@ def main(argv=None):
     @jax.jit
     def score_chunk_impl(variables, quantized, act_scales, head, frames_u8):
         if use_device_crops:
-            frames_u8 = device_oversample(frames_u8, spec.input_size,
-                                          args.modality)
-        x = preprocess_frames(frames_u8, spec, args.modality, new_length)
+            # normalize-then-crop: elementwise normalization commutes with
+            # crop/flip, so this is bit-identical and ~5.8x cheaper on the
+            # normalize (scripts/fullstep_probe.py; see infer/scorer.py)
+            x = device_oversample_normed(frames_u8, spec, args.modality,
+                                         new_length)
+        else:
+            x = preprocess_frames(frames_u8, spec, args.modality, new_length)
         if quantized is not None:
             from ..models.backbones.bn_inception_int8 import (
                 bninception_int8_features)

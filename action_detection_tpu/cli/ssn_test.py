@@ -28,9 +28,18 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_root", default="", type=str)
     parser.add_argument("--prop_file_dir", default="data", type=str)
     parser.add_argument("--synthetic_data", action="store_true")
-    parser.add_argument("--int8", action="store_true",
-                        help="int8-quantize the backbone (BNInception), with "
-                             "activation scales calibrated on the first video")
+    parser.add_argument("--int8", action="store_true", default=None,
+                        help="int8-quantize the backbone, activation scales "
+                             "calibrated across test videos. DEFAULT ON for "
+                             "BNInception (detection-metric delta bounded in "
+                             "tests/test_int8.py); --no_int8 opts out")
+    parser.add_argument("--no_int8", dest="int8", action="store_false",
+                        help="force the bf16/f32 backbone")
+    parser.add_argument("--int8_mode", choices=["e2e", "perlayer"],
+                        default="e2e",
+                        help="e2e: int8 activations end-to-end (fastest, "
+                             "default); perlayer: dequant/requant around "
+                             "each conv")
     parser.add_argument("--gpus", "--devices", dest="devices", nargs="+",
                         type=int, default=None,
                         help="local device indices to fan videos out over "
@@ -118,8 +127,16 @@ def main(argv=None):
                 else args.flow_pref + "{}_{:05d}.jpg")
         provider = DirectoryFrameProvider(args.data_root, tmpl, args.modality)
 
+    # int8 defaults ON where supported (BNInception): the e2e-quantized
+    # backbone is the sanctioned throughput path, with its detection-metric
+    # delta bounded end-to-end (tests/test_int8.py, DESIGN.md)
+    use_int8 = (args.int8 if args.int8 is not None
+                else args.arch == "BNInception")
+    if use_int8 and args.arch != "BNInception":
+        raise SystemExit(f"--int8 supports the BNInception backbone only "
+                         f"(got --arch {args.arch})")
     calibration_frames = None
-    if args.int8:
+    if use_int8:
         # calibrate activation scales on frames spread across several test
         # videos (max-abs calibration from one video under-covers the
         # activation range of the rest)
@@ -150,7 +167,7 @@ def main(argv=None):
                               modality=args.modality,
                               device=device,
                               with_regression=not args.no_regression,
-                              quantize=args.int8,
+                              quantize=args.int8_mode if use_int8 else False,
                               calibration_frames=calibration_frames,
                               decode_threads=args.workers)
 

@@ -306,6 +306,55 @@ def device_oversample(frames, crop_size: int, modality: str = "RGB"):
     return out.reshape((-1,) + out.shape[2:])
 
 
+def device_oversample_normed(frames, spec, modality: str = "RGB",
+                             new_length: int = 1,
+                             crop_size: Optional[int] = None, dtype=None):
+    """Fused normalize-then-oversample (jittable), bit-identical to
+    ``preprocess_frames(device_oversample(frames, crop_size, modality), ...)``.
+
+    Normalization is elementwise in the pixel value, so it commutes exactly
+    with cropping and horizontal flips; running it on the N scale-size frames
+    instead of the 10N crops touches ~5.8x fewer pixels (340x256 vs 10x224^2)
+    and measured 1.5-2 ms faster per 640-image step on one v5e
+    (scripts/fullstep_probe.py, max |delta| = 0.0 vs the crop-first order).
+
+    The Flow flip inversion (``ImageOps.invert`` on flow-x planes,
+    reference transforms.py:110-114) happens on uint8 BEFORE normalization in
+    the composed path, so here the inverted planes are normalized from
+    ``255 - frames`` directly — still elementwise, still bit-identical.
+    RGBDiff's consecutive-frame differences are per-pixel across the channel
+    axis, so they also commute with crop/flip (flips never invert RGBDiff,
+    matching GroupOverSample's L-mode-only invert).
+
+    Args:
+      frames: ``(N, H, W, C)`` uint8 scale-size frames.
+      spec: backbone ``InputSpec`` (mean/std/bgr/div255 + input_size).
+      crop_size: square crop side (default ``spec.input_size``).
+
+    Returns ``(10*N, crop_size, crop_size, C')`` normalized crops in
+    GroupOverSample order [o0, o0-flip, o1, o1-flip, ...].
+    """
+    import jax.numpy as jnp
+
+    crop_size = crop_size or spec.input_size
+    xn = preprocess_frames(frames, spec, modality, new_length, dtype=dtype)
+    if modality == "Flow":
+        inv = preprocess_frames(jnp.asarray(255, frames.dtype) - frames, spec,
+                                modality, new_length, dtype=dtype)
+        is_x = (jnp.arange(xn.shape[-1]) % 2 == 0)
+        flip_src = jnp.where(is_x[None, None, None, :], inv, xn)
+    else:
+        flip_src = xn
+    _, H, W, _ = xn.shape
+    groups = []
+    for o_w, o_h in fill_fix_offset(False, W, H, crop_size, crop_size):
+        crop = xn[:, o_h:o_h + crop_size, o_w:o_w + crop_size, :]
+        flip = flip_src[:, o_h:o_h + crop_size, o_w:o_w + crop_size, :][:, :, ::-1, :]
+        groups.extend((crop, flip))
+    out = jnp.stack(groups, axis=0)
+    return out.reshape((-1,) + out.shape[2:])
+
+
 def normalize_stack(frames, mean, std, bgr: bool = False, div255: bool = False,
                     channels_per_image: int = 3, dtype=None):
     """Device-side normalization of stacked uint8 frames (jittable).

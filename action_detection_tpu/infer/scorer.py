@@ -28,7 +28,7 @@ from ..data.pipeline import (iter_scaled_frame_chunks, iter_test_frame_batches,
                              iter_windowed_decode, make_decode_pool,
                              make_test_transform, pad_chunk_ticks)
 from ..data.ssn_dataset import SSNDataset, TestSample
-from ..data.transforms import (Compose, GroupScale, device_oversample,
+from ..data.transforms import (Compose, GroupScale, device_oversample_normed,
                                preprocess_frames)
 from ..models.backbones import InputSpec
 from ..models.ssn import SSN, fuse_test_heads
@@ -120,30 +120,47 @@ class ProposalScorer:
             feat_multiplier=self.stpp.feat_multiplier,
             with_regression=with_regression)
 
-        # optional int8 quantized backbone (BNInception only): BN-folded
-        # per-channel int8 weights + calibrated static activation scales
-        # (hard-synced: 38.6 vs 42.6 ms per 640-image step on one v5e)
+        # optional int8 quantized backbone (BNInception only). Two modes:
+        # * "e2e" (default; quantize=True maps here): int8 activations
+        #   end-to-end, per-conv output scales folded into consumer weights —
+        #   the sanctioned 5x path (36.1 vs 37.8 ms per 640-image step,
+        #   scripts/int8e2e_probe.py), detection-metric-bounded in
+        #   tests/test_int8.py.
+        # * "perlayer": dequant/requant around each conv, dynamic scales
+        #   possible without calibration.
+        # e2e needs calibration; without calibration_frames it lazily
+        # calibrates on the first scored chunk.
+        self._quantize_mode = ({False: None, None: None, True: "e2e"}
+                               .get(quantize, quantize))
+        if self._quantize_mode not in (None, "e2e", "perlayer"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         self._quantized = None
         self._act_scales = None
-        if quantize:
+        self._qp = None
+        if self._quantize_mode:
             if model.base_model != "BNInception":
                 raise ValueError("int8 quantization currently supports the "
                                  "BNInception backbone only")
             from ..models.backbones.bn_inception_int8 import (
-                calibrate_activation_scales, quantize_backbone)
+                calibrate_activation_scales, calibrate_e2e, quantize_backbone)
 
-            self._quantized = jax.device_put(
-                quantize_backbone(jax.device_get(params["backbone"]),
-                                  jax.device_get((batch_stats or {}).get(
-                                      "backbone", {}))), self.device)
+            self._qp = (jax.device_get(params["backbone"]),
+                        jax.device_get((batch_stats or {}).get("backbone", {})))
+            sample = None
             if calibration_frames is not None:
-                from ..data.transforms import preprocess_frames as _pp
-
-                sample = _pp(jnp.asarray(calibration_frames), input_spec,
-                             modality, model.resolved_new_length)
-                self._act_scales = jax.device_put(
-                    calibrate_activation_scales(self._quantized, sample),
-                    self.device)
+                sample = jax.jit(self._prep_calibration)(
+                    jnp.asarray(calibration_frames))
+            if self._quantize_mode == "e2e":
+                if sample is not None:
+                    self._quantized = jax.device_put(
+                        calibrate_e2e(*self._qp, sample), self.device)
+            else:
+                self._quantized = jax.device_put(quantize_backbone(*self._qp),
+                                                 self.device)
+                if sample is not None:
+                    self._act_scales = jax.device_put(
+                        calibrate_activation_scales(self._quantized, sample),
+                        self.device)
 
         self._score_chunk_jit = jax.jit(self._score_chunk_impl,
                                         static_argnames=("n_stacks",))
@@ -184,23 +201,64 @@ class ProposalScorer:
         by linearity, and ~3% faster measured on chip (fewer FC rows).
         """
         if self.device_crops:
-            frames_u8 = device_oversample(frames_u8, self.input_spec.input_size,
-                                          self.modality)
-        x = preprocess_frames(frames_u8, self.input_spec, self.modality,
-                              self.model.resolved_new_length)
+            # normalize the N scale-size frames, THEN cut the 10 crops:
+            # elementwise normalization commutes exactly with crop/flip, and
+            # touching 5.8x fewer pixels measured 1.5-2 ms/step faster
+            # (scripts/fullstep_probe.py; bit-identical output). int8 keeps
+            # f32 normalization so input quantization rounds exact values.
+            x = device_oversample_normed(
+                frames_u8, self.input_spec, self.modality,
+                self.model.resolved_new_length,
+                dtype=None if quantized is not None else self.model.dtype)
+        else:
+            x = preprocess_frames(frames_u8, self.input_spec, self.modality,
+                                  self.model.resolved_new_length)
         if quantized is not None:
             from ..models.backbones.bn_inception_int8 import (
-                bninception_int8_features)
+                bninception_int8_e2e_features, bninception_int8_features)
 
-            feats = bninception_int8_features(quantized, x,
-                                              act_scales=act_scales)
+            if self._quantize_mode == "e2e":
+                feats = bninception_int8_e2e_features(quantized, x)
+            else:
+                feats = bninception_int8_features(quantized, x,
+                                                  act_scales=act_scales)
         else:
             feats = self.model.apply(variables, x, method=SSN.features)
         feats = feats.reshape(self.test_crops, n_stacks, -1).mean(axis=0)
         return jnp.matmul(feats, kernel,
                           precision=jax.lax.Precision.HIGHEST) + bias
 
+    def _prep_calibration(self, frames):
+        """Normalized CROP-shaped frames for quantization calibration.
+
+        The backbone (like the reference's Caffe-semantics original) needs
+        conv/pool-consistent spatial dims — crops (224^2) qualify, raw
+        scale-size frames (odd after rescale, e.g. 256x340) do not: a
+        stride-2 module's ceil-mode pool branch and its stride-2 convs
+        disagree on odd dims (found by driving the real path — a direct
+        backbone call on scale frames crashes in inception_3c/4e). So
+        calibration always looks at what the backbone actually sees: for
+        scale-size inputs, the first crop offset's normal+flip groups (flip
+        matters for Flow's inverted planes); crop-shaped inputs pass through.
+        """
+        cs = self.input_spec.input_size
+        if frames.shape[1] == cs and frames.shape[2] == cs:
+            return preprocess_frames(frames, self.input_spec, self.modality,
+                                     self.model.resolved_new_length)
+        crops = device_oversample_normed(frames, self.input_spec,
+                                         self.modality,
+                                         self.model.resolved_new_length)
+        return crops[: 2 * frames.shape[0]]
+
     def _score_chunk(self, frames_u8, n_stacks: int):
+        if self._quantize_mode == "e2e" and self._quantized is None:
+            # lazy calibration on the first real chunk; jitted so the
+            # normalize is one compile, not per-op
+            from ..models.backbones.bn_inception_int8 import calibrate_e2e
+
+            sample = jax.jit(self._prep_calibration)(frames_u8)
+            self._quantized = jax.device_put(
+                calibrate_e2e(*self._qp, sample), self.device)
         return self._score_chunk_jit(self._variables, self._kernel, self._bias,
                                      self._quantized, self._act_scales,
                                      frames_u8, n_stacks=n_stacks)

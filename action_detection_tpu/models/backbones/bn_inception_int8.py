@@ -138,9 +138,227 @@ def bninception_int8_features(q: QuantizedParams, x: jnp.ndarray,
     return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# int8 END-TO-END activations
+#
+# The per-layer path above dequantizes every conv output to bf16 and
+# requantizes at the next conv: each activation tensor crosses HBM as
+# bf16 write + bf16 read + int8 write + int8 read = 6 bytes/element. Keeping
+# activations int8 end-to-end cuts that to 2 bytes/element; measured 36.1 vs
+# 37.8 ms per 640-image step on one v5e (scripts/int8e2e_probe.py).
+#
+# Scale design (better than a shared per-module scale): every conv requantizes
+# its own post-ReLU output to a per-conv scale from calibration, and a
+# CONSUMER absorbs its input scales into weight quantization — for input
+# channel i with scale sx_i, w'[:, :, i, :] = w[:, :, i, :] * sx_i before the
+# per-output-channel int8 rounding. A concat of branches with different
+# scales therefore needs NO requantization (the next conv's folded weights
+# carry the per-channel scales), and the stride-2 passthrough max-pool branch
+# rides through untouched. int8 max pools and s32 avg pools are
+# scale-preserving per channel.
+# ---------------------------------------------------------------------------
+
+
+def _max_pool_i8(x: jnp.ndarray, kernel: int, stride: int, ceil: bool = False,
+                 pad: int = 0) -> jnp.ndarray:
+    from .bn_inception import _ceil_pool_padding
+
+    if ceil:
+        padding = [(0, 0), _ceil_pool_padding(x.shape[1], kernel, stride),
+                   _ceil_pool_padding(x.shape[2], kernel, stride), (0, 0)]
+    else:
+        padding = [(0, 0), (pad, pad), (pad, pad), (0, 0)]
+    return jax.lax.reduce_window(x, jnp.int8(-128), jax.lax.max,
+                                 (1, kernel, kernel, 1),
+                                 (1, stride, stride, 1), padding)
+
+
+def _avg_pool_i8_include_pad(x: jnp.ndarray, kernel: int, stride: int,
+                             pad: int) -> jnp.ndarray:
+    """count_include_pad avg pool in s32, rounded back to the input's scale.
+
+    (raw reduce_window+add is fine here: the int8 path is inference-only, so
+    the jax-0.9 avg-pool AD restriction doesn't apply.)"""
+    s = jax.lax.reduce_window(x.astype(jnp.int32), jnp.int32(0), jax.lax.add,
+                              (1, kernel, kernel, 1), (1, stride, stride, 1),
+                              [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+    return jnp.clip(jnp.round(s.astype(jnp.float32) / (kernel * kernel)),
+                    -128, 127).astype(jnp.int8)
+
+
+def _conv_i8_e2e(xq: jnp.ndarray, layer: dict, stride: int = 1,
+                 pad: int = 0) -> jnp.ndarray:
+    """s8 x s8 -> s32 conv with a fused requantizing epilogue.
+
+    ``layer["m"]`` already contains sw/so (weight scales over the conv's own
+    output scale) and ``layer["bq"]`` = bias/so, so the epilogue is one
+    multiply-add + ReLU + round — the output goes back to HBM as int8.
+    """
+    y = jax.lax.conv_general_dilated(
+        xq, layer["wq"], (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    out = y.astype(jnp.float32) * layer["m"] + layer["bq"]
+    return jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0) \
+        .astype(jnp.int8)
+
+
+def quantize_backbone_e2e(params: dict, batch_stats: dict,
+                          out_maxes: Dict[str, float]) -> QuantizedParams:
+    """BN-fold + int8-quantize with input-scale folding for e2e activations.
+
+    ``out_maxes``: {"input": max|normalized input|, conv_name: max post-ReLU
+    conv output} from :func:`_e2e_output_maxes` on calibration frames.
+
+    Walks the topology tracking each tensor's per-channel activation scale
+    vector; every conv's weights absorb its input scales (see module
+    comment), then quantize per-output-channel. Returns the conv dicts plus
+    ``__input_scale__`` (scalar) and ``__feat_scale__`` ((1024,): the final
+    concat's per-channel scales, applied after global average pooling).
+    """
+    folded = fold_bn(params, batch_stats)
+    s = {k: max(float(v), 1e-8) / 127.0 for k, v in out_maxes.items()}
+    qe: QuantizedParams = {}
+
+    def quant(name: str, sx) -> float:
+        w = np.asarray(folded[name]["kernel"], np.float64)
+        sx_vec = np.broadcast_to(np.asarray(sx, np.float64), (w.shape[2],))
+        w = w * sx_vec[None, None, :, None]
+        sw = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
+        sw = np.where(sw == 0, 1.0, sw)
+        wq = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
+        so = s[name]
+        qe[name] = {"wq": jnp.asarray(wq),
+                    "m": jnp.asarray(sw / so, jnp.float32),
+                    "bq": jnp.asarray(
+                        np.asarray(folded[name]["bias"], np.float64) / so,
+                        jnp.float32)}
+        return so
+
+    s1 = quant("conv1_7x7_s2", s["input"])
+    s2r = quant("conv2_3x3_reduce", s1)
+    s2 = quant("conv2_3x3", s2r)
+    sx = np.full(folded["conv2_3x3"]["kernel"].shape[3], s2)
+    for (name, c1, _c3r, c3, _d3r, _d31, cd32, cproj, _pool, stride) in _INCEPTION_CFG:
+        parts = []
+        if c1 is not None:
+            parts.append(np.full(c1, quant(f"{name}_1x1", sx)))
+        s3r = quant(f"{name}_3x3_reduce", sx)
+        parts.append(np.full(c3, quant(f"{name}_3x3", s3r)))
+        sdr = quant(f"{name}_double_3x3_reduce", sx)
+        sd1 = quant(f"{name}_double_3x3_1", sdr)
+        parts.append(np.full(cd32, quant(f"{name}_double_3x3_2", sd1)))
+        if stride == 1:
+            parts.append(np.full(cproj, quant(f"{name}_pool_proj", sx)))
+        else:
+            parts.append(sx)       # passthrough max pool keeps its scales
+        sx = np.concatenate(parts)
+
+    qe["__input_scale__"] = jnp.asarray(s["input"], jnp.float32)
+    qe["__feat_scale__"] = jnp.asarray(sx, jnp.float32)
+    return qe
+
+
+def bninception_int8_e2e_features(qe: QuantizedParams,
+                                  x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) normalized frames -> (N, 1024) features, int8 end-to-end.
+
+    Activations stay int8 from the input quantization to the final concat;
+    the only float work per conv is the fused s32->int8 epilogue. Dequantize
+    happens once, after global average pooling (49-way averaging also averages
+    the final requant rounding error down)."""
+    sin = qe["__input_scale__"]
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sin), -127, 127) \
+        .astype(jnp.int8)
+
+    def conv(xx, name, stride=1, pad=0):
+        return _conv_i8_e2e(xx, qe[name], stride=stride, pad=pad)
+
+    h = conv(xq, "conv1_7x7_s2", stride=2, pad=3)
+    h = _max_pool_i8(h, 3, 2, ceil=True)
+    h = conv(h, "conv2_3x3_reduce")
+    h = conv(h, "conv2_3x3", pad=1)
+    h = _max_pool_i8(h, 3, 2, ceil=True)
+
+    for (name, c1, _c3r, _c3, _d3r, _d31, _d32, _proj, pool, stride) in _INCEPTION_CFG:
+        branches = []
+        if c1 is not None:
+            branches.append(conv(h, f"{name}_1x1"))
+        b3 = conv(h, f"{name}_3x3_reduce")
+        b3 = conv(b3, f"{name}_3x3", stride=stride, pad=1)
+        branches.append(b3)
+        bd = conv(h, f"{name}_double_3x3_reduce")
+        bd = conv(bd, f"{name}_double_3x3_1", pad=1)
+        bd = conv(bd, f"{name}_double_3x3_2", stride=stride, pad=1)
+        branches.append(bd)
+        if stride == 1:
+            bp = (_avg_pool_i8_include_pad(h, 3, 1, 1) if pool == "avg"
+                  else _max_pool_i8(h, 3, 1, pad=1))
+            branches.append(conv(bp, f"{name}_pool_proj"))
+        else:
+            branches.append(_max_pool_i8(h, 3, 2, ceil=True))
+        h = jnp.concatenate(branches, axis=-1)
+
+    return jnp.mean(h.astype(jnp.float32), axis=(1, 2)) * qe["__feat_scale__"]
+
+
+def _e2e_output_maxes(q: QuantizedParams, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Traced calibration pass: each conv's post-ReLU OUTPUT max (+ input max).
+
+    Runs the per-layer dynamic-scale int8 forward (closer to the quantized
+    network's activations than the f32 forward) through the same topology and
+    records the maxima the e2e scale assignment needs. One jittable function
+    -> one remote compile, one bulk fetch."""
+    maxes: Dict[str, jnp.ndarray] = {
+        "input": jnp.max(jnp.abs(x)).astype(jnp.float32)}
+
+    def conv(xx, name, stride=1, pad=0):
+        out = _conv_int8(xx, q[name], stride=stride, pad=pad)
+        maxes[name] = jnp.max(out).astype(jnp.float32)    # post-ReLU => |max|
+        return out
+
+    h = x.astype(jnp.bfloat16)
+    h = conv(h, "conv1_7x7_s2", stride=2, pad=3)
+    h = _max_pool(h, 3, 2, ceil=True)
+    h = conv(h, "conv2_3x3_reduce")
+    h = conv(h, "conv2_3x3", pad=1)
+    h = _max_pool(h, 3, 2, ceil=True)
+    for (name, c1, _c3r, _c3, _d3r, _d31, _d32, _proj, pool, stride) in _INCEPTION_CFG:
+        branches = []
+        if c1 is not None:
+            branches.append(conv(h, f"{name}_1x1"))
+        b3 = conv(h, f"{name}_3x3_reduce")
+        b3 = conv(b3, f"{name}_3x3", stride=stride, pad=1)
+        branches.append(b3)
+        bd = conv(h, f"{name}_double_3x3_reduce")
+        bd = conv(bd, f"{name}_double_3x3_1", pad=1)
+        bd = conv(bd, f"{name}_double_3x3_2", stride=stride, pad=1)
+        branches.append(bd)
+        if stride == 1:
+            bp = (_avg_pool_include_pad(h, 3, 1, 1) if pool == "avg"
+                  else _max_pool(h, 3, 1, pad=1))
+            branches.append(conv(bp, f"{name}_pool_proj"))
+        else:
+            branches.append(_max_pool(h, 3, 2, ceil=True))
+        h = jnp.concatenate(branches, axis=-1)
+    return maxes
+
+
+def calibrate_e2e(params: dict, batch_stats: dict,
+                  sample_frames: jnp.ndarray) -> QuantizedParams:
+    """Calibrate + build the e2e-quantized backbone in one step.
+
+    ``sample_frames``: representative NORMALIZED frames (multi-video spread —
+    max-abs calibration from one video under-covers the rest; an activation
+    exceeding its calibrated max at runtime saturates at 127)."""
+    q0 = quantize_backbone(params, batch_stats)
+    maxes = jax.device_get(jax.jit(_e2e_output_maxes)(q0, sample_frames))
+    return quantize_backbone_e2e(params, batch_stats, maxes)
+
+
 def quantization_report(backbone, variables, frames,
                         fused_kernel=None, fused_bias=None,
-                        layout=None) -> Dict[str, float]:
+                        layout=None, mode: str = "perlayer") -> Dict[str, float]:
     """Quantify int8-vs-float divergence on real inputs.
 
     Run this with a *converted reference checkpoint* before enabling
@@ -150,11 +368,19 @@ def quantization_report(backbone, variables, frames,
     (a ``ReorganizedScoreLayout``) the score error is additionally broken out
     per head block: ``act_rel_rms`` / ``comp_rel_rms`` / ``reg_rel_rms``.
     """
-    q = quantize_backbone(variables["params"], variables.get("batch_stats", {}))
-    scales = calibrate_activation_scales(q, frames)
     ref = np.asarray(backbone.apply(variables, frames)).astype(np.float64)
-    got = np.asarray(bninception_int8_features(q, frames,
-                                               act_scales=scales)).astype(np.float64)
+    if mode == "e2e":
+        qe = calibrate_e2e(variables["params"], variables.get("batch_stats", {}),
+                           frames)
+        got = np.asarray(bninception_int8_e2e_features(qe, frames)) \
+            .astype(np.float64)
+    else:
+        q = quantize_backbone(variables["params"],
+                              variables.get("batch_stats", {}))
+        scales = calibrate_activation_scales(q, frames)
+        got = np.asarray(bninception_int8_features(q, frames,
+                                                   act_scales=scales)) \
+            .astype(np.float64)
     cos = float(np.mean([
         np.dot(r, g) / (np.linalg.norm(r) * np.linalg.norm(g) + 1e-12)
         for r, g in zip(ref, got)]))

@@ -5,20 +5,27 @@ Measurements, all hard-synced (every timed region ends with a host scalar
 fetch — on the axon plugin ``block_until_ready`` awaits transfers but NOT
 remote execution, see DESIGN.md "measurement methodology"):
 
-1. Headline: one step of the REAL inference program with a device-resident
-   input chunk — the device cuts the 10-crop oversample, normalizes, runs
-   the bf16 BNInception backbone, applies the fused test FC, crop-means,
-   and pools proposals with reorganized STPP. Device-resident because on
-   this tunneled harness the host->device channel collapses to ~56MB/s
-   after the first big-program execution (a harness artifact, process-wide,
-   transfers only — measured in DESIGN.md); on a real TPU VM the 16.7MB
-   input ship is ~1ms over PCIe, fully overlapped, and the device-resident
-   rate IS the pipeline throughput.
-2. shipped_images_per_sec extra: the same step with the per-step 16.7MB
+1. Headline: one step of the REAL inference program in ssn_test's DEFAULT
+   configuration for BNInception — int8-e2e quantized backbone (activations
+   int8 end-to-end; detection-metric delta bounded in tests/test_int8.py),
+   with a device-resident input chunk: the device normalizes, cuts the
+   10-crop oversample (norm-first, bit-identical), runs the backbone,
+   applies the fused test FC, crop-means, and pools proposals with
+   reorganized STPP. Device-resident because on this tunneled harness the
+   host->device channel collapses to ~56MB/s after the first big-program
+   execution (a harness artifact, process-wide, transfers only — measured
+   in DESIGN.md); on a real TPU VM the 16.7MB input ship is ~1ms over PCIe,
+   fully overlapped, and the device-resident rate IS the pipeline
+   throughput.
+2. bf16 extra: the same step through the unquantized bf16 backbone
+   (``--no_int8``), same timing discipline.
+3. shipped_images_per_sec extra: the int8 step with the per-step 16.7MB
    host ship included, plus ship_MBps_pre/post reporting the observed
    channel state so the gap is attributable.
-3. End-to-end extra: synthetic JPEG frame directories scored through
-   ``ProposalScorer`` (decode -> rescale -> score -> pool), sec/video.
+4. End-to-end extra: synthetic JPEG frame directories scored through
+   ``ProposalScorer`` (decode -> rescale -> score -> pool), sec/video —
+   measured per-video AND cross-video packed (--pack), so the pack
+   decision is a recorded number.
 
 Baseline (vs_baseline denominator): 3500 images/sec — an A100-era estimate
 for torch BNInception fp16 inference at large batch (BNInception is
@@ -46,7 +53,11 @@ PROPOSALS = 128               # pooled per chunk-window
 SCALE_W, SCALE_H = 340, 256   # scale-size frame shipped per tick (THUMOS-ish)
 
 E2E_VIDEOS = 2
-E2E_FRAMES = 1530             # ~1 min @ 25fps; test_interval 6 -> 255 ticks
+E2E_FRAMES = 576              # test_interval 6 -> 96 ticks/video: per-video
+                              # scoring pads each to 2x64-chunks (4 total),
+                              # packing shares chunks (3 total) — the
+                              # representative remainder-padding case the
+                              # --pack decision is judged on
 E2E_PROPS = 100
 
 
@@ -109,32 +120,14 @@ def main():
     log(f"init: {time.time() - t0:.1f}s")
 
     reg_stats = np.array([[0.0, 0.0], [1.0, 1.0]], np.float32)
-    scorer = ProposalScorer(model, variables["params"],
-                            variables.get("batch_stats"), spec,
-                            reg_stats=reg_stats, num_class=K,
-                            test_crops=CROPS, chunk_frames=TICKS_PER_CHUNK,
-                            device_crops=True)
-
     rng = np.random.RandomState(0)
     host_chunk = rng.randint(0, 256, size=(TICKS_PER_CHUNK, SCALE_H, SCALE_W, 3),
                              dtype=np.uint8)
-    ticks = jax.device_put(np.stack([
-        np.sort(rng.randint(0, TICKS_PER_CHUNK + 1, size=4))
-        for _ in range(PROPOSALS)]).astype(np.int64))
-    scaling = jax.device_put(rng.rand(PROPOSALS, 2).astype(np.float32))
-    num_frames = jnp.asarray(TICKS_PER_CHUNK, jnp.int32)
 
-    def step(frames):
-        scores = scorer._score_chunk(frames, n_stacks=TICKS_PER_CHUNK)
-        return scorer._pool(scores, ticks, scaling, num_frames)
-
-    def hard_sync(result):
-        # on the axon plugin block_until_ready does not reliably await remote
-        # EXECUTION (only transfers); a host scalar fetch is the hard sync
-        return float(result[0][0, 0])
+    device = jax.devices()[0]
 
     def ship():
-        return jax.device_put(host_chunk, scorer.device)
+        return jax.device_put(host_chunk, device)
 
     def ship_probe_ms(n=3):
         ms = []
@@ -144,44 +137,81 @@ def main():
             ms.append((time.time() - t0) * 1e3)
         return min(ms)
 
+    # probe the channel BEFORE any big program runs (the first big-program
+    # execution degrades this process's transfers to ~56MB/s — DESIGN.md)
     pre_ship_ms = ship_probe_ms()
     log(f"pre-exec ship probe: {pre_ship_ms:.0f} ms / 16.7MB")
 
-    # First execution of a large program on this stack includes server-side
-    # finalization: measured anywhere from ~20s to ~850s for the identical
-    # program (no cross-process cache benefit observed). Be patient once.
-    dev_chunk = ship()
-    t0 = time.time()
-    hard_sync(step(dev_chunk))
-    log(f"compile+first-run: {time.time() - t0:.1f}s")
+    def make_scorer(quantize):
+        return ProposalScorer(model, variables["params"],
+                              variables.get("batch_stats"), spec,
+                              reg_stats=reg_stats, num_class=K,
+                              test_crops=CROPS, chunk_frames=TICKS_PER_CHUNK,
+                              device_crops=True, quantize=quantize,
+                              calibration_frames=(host_chunk[:8] if quantize
+                                                  else None))
 
-    def measure(make_input, n_steps):
+    # the DEFAULT ssn_test configuration for BNInception: int8-e2e
+    t0 = time.time()
+    scorer = make_scorer("e2e")
+    log(f"int8-e2e calibration+quantization: {time.time() - t0:.1f}s")
+    scorer_bf16 = make_scorer(False)
+    ticks = jax.device_put(np.stack([
+        np.sort(rng.randint(0, TICKS_PER_CHUNK + 1, size=4))
+        for _ in range(PROPOSALS)]).astype(np.int64))
+    scaling = jax.device_put(rng.rand(PROPOSALS, 2).astype(np.float32))
+    num_frames = jnp.asarray(TICKS_PER_CHUNK, jnp.int32)
+
+    def step(sc, frames):
+        scores = sc._score_chunk(frames, n_stacks=TICKS_PER_CHUNK)
+        return sc._pool(scores, ticks, scaling, num_frames)
+
+    def hard_sync(result):
+        # on the axon plugin block_until_ready does not reliably await remote
+        # EXECUTION (only transfers); a host scalar fetch is the hard sync
+        return float(result[0][0, 0])
+
+    def measure(sc, make_input, n_steps):
         for _ in range(WARMUP_STEPS):
-            step(make_input())
-        hard_sync(step(make_input()))
+            step(sc, make_input())
+        hard_sync(step(sc, make_input()))
         t0 = time.time()
         out = None
         for _ in range(n_steps):
-            out = step(make_input())
+            out = step(sc, make_input())
         hard_sync(out)
         return (time.time() - t0) / n_steps
 
-    # 1. executable speed (device-resident input; channel-independent)
-    exec_s = measure(lambda: dev_chunk, MEASURE_STEPS)
-    # the remote compile service can return a poorly-optimized executable;
-    # re-roll once through a cleared cache if implausibly slow
-    if exec_s > 0.15:
-        log(f"exec {exec_s*1e3:.0f} ms/step implausible — recompiling once")
-        jax.clear_caches()
+    def measure_resident(sc, tag):
+        # First execution of a large program on this stack includes
+        # server-side finalization: measured anywhere from ~20s to ~850s for
+        # the identical program (no cross-process cache). Be patient once.
         t0 = time.time()
-        hard_sync(step(dev_chunk))
-        log(f"recompile+run: {time.time() - t0:.1f}s")
-        exec_s = min(exec_s, measure(lambda: dev_chunk, MEASURE_STEPS))
-    log(f"device-resident: {exec_s*1e3:.1f} ms/step hard-synced "
-        f"= {IMAGES_PER_STEP/exec_s:.0f} img/s")
+        hard_sync(step(sc, dev_chunk))
+        log(f"[{tag}] compile+first-run: {time.time() - t0:.1f}s")
+        exec_s = measure(sc, lambda: dev_chunk, MEASURE_STEPS)
+        # the remote compile service can return a poorly-optimized
+        # executable; re-roll once through a cleared cache if implausibly slow
+        if exec_s > 0.15:
+            log(f"[{tag}] exec {exec_s*1e3:.0f} ms/step implausible — "
+                f"recompiling once")
+            jax.clear_caches()
+            t0 = time.time()
+            hard_sync(step(sc, dev_chunk))
+            log(f"[{tag}] recompile+run: {time.time() - t0:.1f}s")
+            exec_s = min(exec_s, measure(sc, lambda: dev_chunk, MEASURE_STEPS))
+        log(f"[{tag}] device-resident: {exec_s*1e3:.1f} ms/step hard-synced "
+            f"= {IMAGES_PER_STEP/exec_s:.0f} img/s")
+        return exec_s
 
-    # 2. extra: per-step host ship included (tunnel-channel dependent here)
-    ship_s = measure(ship, MEASURE_STEPS)
+    dev_chunk = ship()
+    # 1. headline: int8-e2e (ssn_test's default for BNInception)
+    exec_s = measure_resident(scorer, "int8-e2e")
+    # 2. extra: unquantized bf16 (--no_int8)
+    bf16_exec_s = measure_resident(scorer_bf16, "bf16")
+
+    # 3. extra: per-step host ship included (tunnel-channel dependent here)
+    ship_s = measure(scorer, ship, MEASURE_STEPS)
     post_ship_ms = ship_probe_ms()
     log(f"with per-step 16.7MB ship: {ship_s*1e3:.1f} ms/step hard-synced "
         f"= {IMAGES_PER_STEP/ship_s:.0f} img/s "
@@ -217,17 +247,35 @@ def main():
             f"in {best_dt:.2f}s -> {sec_per_video:.3f} sec/video, "
             f"{e2e_images_per_sec:.0f} img/s")
 
+        # cross-video packed scoring (--pack): same videos, one shared chunk
+        # stream — the measured basis for the pack default decision
+        scorer.score_video_pack(samples, provider)      # warm the pack path
+        best_pack = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            scorer.score_video_pack(samples, provider)
+            best_pack = min(best_pack, time.time() - t0)
+        pack_sec_per_video = best_pack / E2E_VIDEOS
+        log(f"e2e --pack: {best_pack:.2f}s -> {pack_sec_per_video:.3f} "
+            f"sec/video ({(best_dt - best_pack) / best_dt * 100:+.1f}% vs "
+            f"per-video)")
+
     print(json.dumps({
         "metric": "ssn_scorer_images_per_sec",
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip (device-resident, hard-synced)",
         "vs_baseline": round(images_per_sec / A100_ERA_BASELINE_IMG_PER_SEC, 3),
+        "mode": "int8-e2e (ssn_test default for BNInception; "
+                "detection-delta bounded in tests/test_int8.py)",
         "exec_ms_per_step": round(exec_s * 1e3, 2),
+        "bf16_images_per_sec": round(IMAGES_PER_STEP / bf16_exec_s, 2),
+        "bf16_exec_ms_per_step": round(bf16_exec_s * 1e3, 2),
         "shipped_images_per_sec": round(shipped_images_per_sec, 2),
         "ship_MBps_pre": round(16.7 / pre_ship_ms * 1e3, 1),
         "ship_MBps_post": round(16.7 / post_ship_ms * 1e3, 1),
         "e2e_sec_per_video": round(sec_per_video, 3),
         "e2e_images_per_sec": round(e2e_images_per_sec, 2),
+        "e2e_sec_per_video_packed": round(pack_sec_per_video, 3),
     }))
 
 

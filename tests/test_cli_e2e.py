@@ -163,13 +163,23 @@ def test_ssn_test_int8_collects_multivideo_calibration(workdir, monkeypatch):
                "--synthetic_data", "--prop_file_dir", str(workdir),
                "--int8", "--gpus", "0"])
 
-    assert captured["quantize"] is True
+    assert captured["quantize"] == "e2e"     # the default int8 mode
     calib = captured["calib"]
     # 2 test videos x 1 tick x 10 crops of uint8 input-size frames
     assert calib is not None and calib.dtype == np.uint8
     assert calib.shape == (20, 224, 224, 3), calib.shape
     with open("int8_scores.pkl", "rb") as f:
         assert len(pickle.load(f)) == 2
+
+    # int8 defaults ON for BNInception (no flag needed) and --no_int8 opts out
+    test_main(["thumos14", "RGB", ckpt, "int8_scores.pkl",
+               "--synthetic_data", "--prop_file_dir", str(workdir),
+               "--gpus", "0"])
+    assert captured["quantize"] == "e2e" and captured["calib"] is not None
+    test_main(["thumos14", "RGB", ckpt, "int8_scores.pkl",
+               "--synthetic_data", "--prop_file_dir", str(workdir),
+               "--no_int8", "--gpus", "0"])
+    assert captured["quantize"] is False and captured["calib"] is None
 
 
 def test_anet_actionness_100way_head(workdir, monkeypatch):

@@ -365,6 +365,44 @@ def test_device_oversample_matches_host_groupoversample():
     np.testing.assert_array_equal(dev.reshape(10, 2, crop, crop, 2), host_arr)
 
 
+def test_device_oversample_normed_matches_composed():
+    """Fused normalize-then-crop == crop-then-normalize, bit-for-bit.
+
+    Covers RGB (BGR roll), Flow (flip inversion of flow-x planes), RGBDiff
+    (channel diffs), and a div255-style spec (InceptionV3), in f32 and bf16.
+    """
+    from action_detection_tpu.data.transforms import (
+        device_oversample, device_oversample_normed, preprocess_frames)
+    from action_detection_tpu.models.backbones import InputSpec
+
+    rng = np.random.RandomState(7)
+    crop = 16
+
+    cases = [
+        ("RGB", 1, 3, InputSpec(crop, (104.0, 117.0, 128.0), (1.0, 1.0, 1.0),
+                                bgr=True, div255=False)),
+        ("Flow", 2, 4, InputSpec(crop, (128.0,), (1.0,),
+                                 bgr=False, div255=False)),
+        ("RGBDiff", 2, 9, InputSpec(crop, (0.485, 0.456, 0.406),
+                                    (0.229, 0.224, 0.225),
+                                    bgr=False, div255=True)),
+        ("RGB", 1, 3, InputSpec(crop, (0.5, 0.5, 0.5), (0.5, 0.5, 0.5),
+                                bgr=False, div255=True)),
+    ]
+    for modality, new_length, C, spec in cases:
+        frames = jnp.asarray(rng.randint(0, 256, (3, 24, 30, C),
+                                         dtype=np.uint8))
+        for dtype in (None, jnp.bfloat16):
+            composed = preprocess_frames(
+                device_oversample(frames, crop, modality), spec, modality,
+                new_length, dtype=dtype)
+            fused = device_oversample_normed(frames, spec, modality,
+                                             new_length, crop, dtype=dtype)
+            np.testing.assert_array_equal(
+                np.asarray(fused), np.asarray(composed),
+                err_msg=f"{modality} dtype={dtype}")
+
+
 def test_device_crops_scorer_matches_host_crops(scorer_setup):
     """ProposalScorer(device_crops) == host 10-crop path on the same video."""
     ds, provider, model, spec, variables, reg_stats = scorer_setup

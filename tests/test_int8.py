@@ -107,6 +107,76 @@ def test_calibrated_static_scales_match_dynamic(backbone_setup):
     assert rel < 0.05, rel
 
 
+def test_int8_e2e_features_close_to_float(backbone_setup):
+    """End-to-end int8 activations track f32 features (per-input-channel
+    scale folding keeps per-branch precision through the concats)."""
+    from action_detection_tpu.models.backbones.bn_inception_int8 import (
+        bninception_int8_e2e_features, calibrate_e2e)
+
+    backbone, variables = backbone_setup
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 255.0 - 117.0)
+    qe = calibrate_e2e(variables["params"], variables["batch_stats"], x)
+    assert qe["__feat_scale__"].shape == (1024,)
+
+    ref = np.asarray(backbone.apply(variables, x)).astype(np.float64)
+    got = np.asarray(bninception_int8_e2e_features(qe, x)).astype(np.float64)
+    assert got.shape == ref.shape == (2, 1024)
+    assert np.isfinite(got).all()
+    for r, g in zip(ref, got):
+        cos = float(np.dot(r, g) / (np.linalg.norm(r) * np.linalg.norm(g) + 1e-9))
+        assert cos > 0.99, cos
+    rel_rms = float(np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9))
+    assert rel_rms < 0.12, rel_rms
+
+
+def test_int8_e2e_lazy_calibration(backbone_setup):
+    """ProposalScorer e2e mode without calibration_frames calibrates on the
+    first chunk and scores finitely."""
+    from action_detection_tpu.config import SamplingConfig
+    from action_detection_tpu.data.pipeline import SyntheticFrameProvider
+    from action_detection_tpu.data.ssn_dataset import SSNDataset
+    from action_detection_tpu.infer.scorer import ProposalScorer
+    from action_detection_tpu.models import SSN
+    from tests.test_datasets import write_proposal_list
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        prop_file = write_proposal_list(os.path.join(d, "p.txt"), n_videos=1)
+        ds = SSNDataset(prop_file, SamplingConfig(), test_interval=60)
+        provider = SyntheticFrameProvider(width=80, height=72)
+        model = SSN(num_class=3, base_model="BNInception", dropout=0.0)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               jnp.zeros((1, 9, 64, 64, 3)), jnp.ones((1, 2)),
+                               train=False)
+        _, _, spec = get_backbone("BNInception", "RGB")
+        scorer = ProposalScorer(model, variables["params"],
+                                variables.get("batch_stats"), spec,
+                                reg_stats=np.array([[0.0, 0.0], [1.0, 1.0]]),
+                                test_crops=1, chunk_frames=4, quantize="e2e")
+        scorer.input_spec = spec.__class__(64, spec.mean, spec.std, spec.bgr,
+                                           spec.div255)
+        assert scorer._quantized is None
+        out = scorer.score_video(ds.get_test_sample(0), provider)
+        assert scorer._quantized is not None
+        assert np.isfinite(out.act_scores).all()
+
+        # the 10-crop device-crops path feeds SCALE-size frames (odd dims
+        # after rescale, e.g. 73x87 here) to _score_chunk: calibration must
+        # cut crops first — a raw backbone call on odd dims crashes in the
+        # stride-2 modules (regression for a bug found driving the real path)
+        scorer10 = ProposalScorer(model, variables["params"],
+                                  variables.get("batch_stats"), spec,
+                                  reg_stats=np.array([[0.0, 0.0], [1.0, 1.0]]),
+                                  test_crops=10, chunk_frames=4,
+                                  device_crops=True, quantize="e2e")
+        scorer10.input_spec = spec.__class__(64, spec.mean, spec.std,
+                                             spec.bgr, spec.div255)
+        out10 = scorer10.score_video(ds.get_test_sample(0), provider)
+        assert scorer10._quantized is not None
+        assert np.isfinite(out10.act_scores).all()
+
+
 def test_int8_scorer_end_to_end(backbone_setup):
     """ProposalScorer(quantize=True) scores a synthetic video."""
     from action_detection_tpu.config import SamplingConfig
@@ -269,7 +339,9 @@ def test_int8_end_to_end_detection_bound():
             for lab in range(K + 1) for _ in range(3)])
 
         results = {}
-        for tag, q, c in (("f32", False, None), ("int8", True, calib)):
+        for tag, q, c in (("f32", False, None),
+                          ("perlayer", "perlayer", calib),
+                          ("e2e", "e2e", calib)):
             scorer = ProposalScorer(model, params, batch_stats or None, base,
                                     reg_stats=reg_stats, num_class=K,
                                     test_crops=1, chunk_frames=4,
@@ -284,26 +356,28 @@ def test_int8_end_to_end_detection_bound():
         # combined-score deltas (the quantity that moves mAP): bounded
         # against the video's score scale, plus relative error on the
         # detections that matter (above 5% of the top score)
-        max_norm_delta, top_rel = 0.0, 0.0
-        for vid in results["f32"]:
-            _, act_f, comp_f, _ = results["f32"][vid]
-            _, act_q, comp_q, _ = results["int8"][vid]
-            comb_f = softmax(act_f)[:, 1:] * np.exp(comp_f)
-            comb_q = softmax(act_q)[:, 1:] * np.exp(comp_q)
-            scale = comb_f.max()
-            max_norm_delta = max(max_norm_delta,
-                                 float(np.abs(comb_q - comb_f).max() / scale))
-            top = comb_f > 0.05 * scale
-            if top.any():
-                top_rel = max(top_rel, float(
-                    (np.abs(comb_q - comb_f)[top] / comb_f[top]).max()))
-        assert max_norm_delta < 0.12, max_norm_delta   # measured 0.063
-        assert top_rel < 0.25, top_rel                 # measured 0.142
+        for int8_tag in ("perlayer", "e2e"):
+            max_norm_delta, top_rel = 0.0, 0.0
+            for vid in results["f32"]:
+                _, act_f, comp_f, _ = results["f32"][vid]
+                _, act_q, comp_q, _ = results[int8_tag][vid]
+                comb_f = softmax(act_f)[:, 1:] * np.exp(comp_f)
+                comb_q = softmax(act_q)[:, 1:] * np.exp(comp_q)
+                scale = comb_f.max()
+                max_norm_delta = max(max_norm_delta,
+                                     float(np.abs(comb_q - comb_f).max() / scale))
+                top = comb_f > 0.05 * scale
+                if top.any():
+                    top_rel = max(top_rel, float(
+                        (np.abs(comb_q - comb_f)[top] / comb_f[top]).max()))
+            # measured: perlayer 0.063 / 0.142, e2e 0.066 / 0.158
+            assert max_norm_delta < 0.12, (int8_tag, max_norm_delta)
+            assert top_rel < 0.25, (int8_tag, top_rel)
 
-        # mAP through the full pipeline: delta < 0.5 mAP point
+        # mAP through the full pipeline: delta < 0.5 mAP point for BOTH modes
         all_gt = ds.get_all_gt()
         maps = {}
-        for tag in ("f32", "int8"):
+        for tag in results:
             dets = generate_detections(results[tag], K, top_k=0,
                                        softmax_before_filter=True)
             dets = apply_classwise_nms(dets, 0.2)
@@ -312,7 +386,8 @@ def test_int8_end_to_end_detection_bound():
                                      np.arange(0.1, 1.0, 0.1), workers=2)
             maps[tag] = float(ap.mean())
         assert maps["f32"] > 0.8, maps   # the fixture is a real detector
-        assert abs(maps["int8"] - maps["f32"]) < 0.005, maps  # measured 0.0
+        assert abs(maps["perlayer"] - maps["f32"]) < 0.005, maps  # measured 0.0
+        assert abs(maps["e2e"] - maps["f32"]) < 0.005, maps       # measured 0.0
 
 
 def test_quantization_report(backbone_setup):
@@ -383,3 +458,13 @@ def test_quantization_report_on_torch_twin_weights():
     assert rep["feature_rel_rms"] < 0.06, rep
     for head in ("act", "comp", "reg"):
         assert rep[f"{head}_rel_rms"] < 0.12, rep
+
+    # the e2e mode (int8 activations end-to-end) holds the same bounds
+    rep_e2e = quantization_report(backbone, variables, x,
+                                  fused_kernel=np.asarray(kernel),
+                                  fused_bias=np.asarray(bias), layout=layout,
+                                  mode="e2e")
+    assert rep_e2e["feature_cosine"] > 0.995, rep_e2e
+    assert rep_e2e["feature_rel_rms"] < 0.08, rep_e2e
+    for head in ("act", "comp", "reg"):
+        assert rep_e2e[f"{head}_rel_rms"] < 0.12, rep_e2e
