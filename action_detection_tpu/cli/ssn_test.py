@@ -45,10 +45,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="local device indices to fan videos out over "
                              "(default: all) — the reference's --gpus "
                              "(ssn_test.py:32,52)")
-    parser.add_argument("--pack", action="store_true",
+    parser.add_argument("--pack", action="store_true", default=None,
                         help="pack frame ticks from multiple videos into each "
                              "fixed-size device chunk (identical scores, no "
-                             "per-video padding compute)")
+                             "per-video padding compute). Default: on when "
+                             "the host has >= 4 cores — packing's continuous "
+                             "decode-ahead wins there (measured +13-30%%) but "
+                             "starves a 1-core host (measured; DESIGN.md)")
+    parser.add_argument("--no_pack", dest="pack", action="store_false",
+                        help="force per-video scoring")
     parser.add_argument("--use_reference", action="store_true", default=False,
                         help="load the published ImageNet-init reference "
                              "checkpoint from the local model cache "
@@ -177,11 +182,17 @@ def main(argv=None):
     t0 = time.time()
     from ..parallel import select_devices
 
+    # pack default adapts to the host: cross-video packing saves ~chunk/2
+    # padded ticks per video and wins on multi-core hosts (+13-30% measured),
+    # but its continuous decode-ahead starves a 1-core host's consumer
+    # thread (measured + instrumented, DESIGN.md "pack decision")
+    use_pack = (args.pack if args.pack is not None
+                else (os.cpu_count() or 1) >= 4)
     results = score_videos(scorer_factory, dataset, provider,
                            indices=range(n),
                            devices=select_devices(args.devices),
                            keep_raw=args.save_raw_scores is not None,
-                           progress=True, pack=args.pack)
+                           progress=True, pack=use_pack)
     dt = time.time() - t0
     print(f"scored {len(results)} videos in {dt:.1f}s "
           f"({dt / max(len(results), 1):.3f} sec/video)")

@@ -168,6 +168,13 @@ class ProposalScorer:
         # to powers of two, so pooling compiles O(log) programs total instead
         # of one per distinct video length
         self._pool_jit = jax.jit(self._pool_impl)
+        # pack-mode row scatter: per-video matrices gathered on device from
+        # the concatenated chunk scores (idx rows past the end hit an
+        # appended zero row — the per-video zero padding)
+        self._gather_rows_jit = jax.jit(
+            lambda scores, idx: jnp.concatenate(
+                [scores, jnp.zeros((1, scores.shape[1]), scores.dtype)],
+                axis=0)[idx])
 
     def close(self) -> None:
         """Shut down the decode thread pool (idempotent)."""
@@ -435,23 +442,34 @@ class ProposalScorer:
                                        n_stacks=self.chunk_frames)
             pending.append((scores, [(s_, r_) for s_, r_, _ in buf]))
 
-        # scatter chunk rows back into per-video score matrices, then pool
-        mats = [None] * len(samples)
-        for scores, mapping in pending:
-            host = np.asarray(scores)
-            for r, (si, row) in enumerate(mapping):
-                if mats[si] is None:
-                    T = len(samples[si].frame_ticks)
-                    T_padded = _pow2_bucket(
-                        _round_up(max(T, 1), self.chunk_frames),
-                        lo=self.chunk_frames)
-                    mats[si] = np.zeros((T_padded, host.shape[1]), host.dtype)
-                mats[si][row] = host[r]
-        return [self._pool_video(s, mats[si], len(s.frame_ticks),
-                                 keep_raw=keep_raw)
-                if mats[si] is not None            # zero-tick videos had no jobs
-                else self._empty_scored(s, keep_raw=keep_raw)
-                for si, s in enumerate(samples)]
+        # scatter chunk rows back into per-video score matrices ON DEVICE: a
+        # gather with host-computed indices. The previous host scatter fetched
+        # every chunk's scores and re-shipped each assembled matrix — small
+        # transfers, but through a degraded channel each pays a ~32 ms floor
+        # (DESIGN.md), which made --pack LOSE on the harness (3.2 vs 1.7 s)
+        # while winning on healthy hosts; device gather removes them all.
+        if not pending:
+            return [self._empty_scored(s, keep_raw=keep_raw) for s in samples]
+        all_scores = jnp.concatenate([sc for sc, _ in pending], axis=0)
+        row_of = {}
+        for ci, (_, mapping) in enumerate(pending):
+            for r, key in enumerate(mapping):
+                row_of[key] = ci * self.chunk_frames + r
+        zero_row = all_scores.shape[0]      # index of the appended zero row
+        outs = []
+        for si, s in enumerate(samples):
+            T = len(s.frame_ticks)
+            if T == 0:
+                outs.append(self._empty_scored(s, keep_raw=keep_raw))
+                continue
+            T_padded = _pow2_bucket(_round_up(T, self.chunk_frames),
+                                    lo=self.chunk_frames)
+            idx = np.full(T_padded, zero_row, np.int32)
+            for row in range(T):
+                idx[row] = row_of[(si, row)]
+            mat = self._gather_rows_jit(all_scores, jnp.asarray(idx))
+            outs.append(self._pool_video(s, mat, T, keep_raw=keep_raw))
+        return outs
 
 
 def make_sharded_frame_scorer(model: SSN, variables, kernel, bias,
