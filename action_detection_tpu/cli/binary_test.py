@@ -36,8 +36,18 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_root", default="", type=str)
     parser.add_argument("--prop_file_dir", default="data", type=str)
     parser.add_argument("--synthetic_data", action="store_true")
-    parser.add_argument("--int8", action="store_true",
-                        help="int8-quantize the backbone (BNInception)")
+    parser.add_argument("--int8", action="store_true", default=None,
+                        help="int8-quantize the backbone. DEFAULT ON for "
+                             "BNInception (int8-e2e, same accuracy bounds as "
+                             "ssn_test — tests/test_int8.py); --no_int8 opts "
+                             "out")
+    parser.add_argument("--no_int8", dest="int8", action="store_false",
+                        help="force the bf16/f32 backbone")
+    parser.add_argument("--int8_mode", choices=["e2e", "perlayer"],
+                        default="e2e",
+                        help="e2e: int8 activations end-to-end (fastest, "
+                             "default); perlayer: dequant/requant around "
+                             "each conv")
     parser.add_argument("--gpus", "--devices", dest="devices", nargs="+",
                         type=int, default=None,
                         help="local device index to score on (first entry "
@@ -142,21 +152,40 @@ def main(argv=None):
     transform = make_test_transform(spec.input_size, spec.scale_size,
                                     args.test_crops)
 
+    # int8 defaults ON where supported, like ssn_test (e2e mode; accuracy
+    # bounds in tests/test_int8.py)
+    use_int8 = (args.int8 if args.int8 is not None
+                else args.arch == "BNInception")
+    if use_int8 and args.arch != "BNInception":
+        raise SystemExit(f"--int8 supports the BNInception backbone only "
+                         f"(got --arch {args.arch})")
     quantized = act_scales = None
-    if args.int8:
+    if use_int8:
         from ..models.backbones.bn_inception_int8 import (
-            bninception_int8_features, calibrate_activation_scales,
-            quantize_backbone)
+            calibrate_activation_scales, calibrate_e2e, quantize_backbone)
 
-        quantized = quantize_backbone(ck["params"]["backbone"],
-                                      (ck["batch_stats"] or {}).get("backbone", {}))
-        s0 = dataset.get_test_sample(0)
-        calib = next(iter_test_frame_batches(
-            provider, s0.video_id, s0.frame_ticks, s0.num_frames, transform,
-            new_length=new_length, batch_ticks=4))
-        act_scales = calibrate_activation_scales(
-            quantized, preprocess_frames(jnp.asarray(calib), spec,
-                                         args.modality, new_length))
+        # calibration frames spread across several videos (one-video max-abs
+        # calibration under-covers the activation range of the rest)
+        n_vids = len(dataset.video_list)
+        calib_idx = sorted(set(np.linspace(0, n_vids - 1,
+                                           min(8, n_vids)).astype(int)))
+        chunks = []
+        for i in calib_idx:
+            s0 = dataset.get_test_sample(i)
+            if len(s0.frame_ticks) == 0:
+                continue
+            chunks.append(next(iter_test_frame_batches(
+                provider, s0.video_id, s0.frame_ticks, s0.num_frames,
+                transform, new_length=new_length, batch_ticks=1)))
+        sample = preprocess_frames(jnp.asarray(np.concatenate(chunks, axis=0)),
+                                   spec, args.modality, new_length)
+        bb_params = ck["params"]["backbone"]
+        bb_stats = (ck["batch_stats"] or {}).get("backbone", {})
+        if args.int8_mode == "e2e":
+            quantized = calibrate_e2e(bb_params, bb_stats, sample)
+        else:
+            quantized = quantize_backbone(bb_params, bb_stats)
+            act_scales = calibrate_activation_scales(quantized, sample)
 
     # weights ride as jit arguments, not closure captures: embedded-constant
     # executables degrade every later host->device transfer (see
@@ -183,10 +212,13 @@ def main(argv=None):
             x = preprocess_frames(frames_u8, spec, args.modality, new_length)
         if quantized is not None:
             from ..models.backbones.bn_inception_int8 import (
-                bninception_int8_features)
+                bninception_int8_e2e_features, bninception_int8_features)
 
-            feats = bninception_int8_features(quantized, x,
-                                              act_scales=act_scales)
+            if args.int8_mode == "e2e":
+                feats = bninception_int8_e2e_features(quantized, x)
+            else:
+                feats = bninception_int8_features(quantized, x,
+                                                  act_scales=act_scales)
             return jnp.matmul(feats, head["kernel"],
                               precision=jax.lax.Precision.HIGHEST) + head["bias"]
         return model.apply(variables, x, method=BinaryClassifier.score_frames)
