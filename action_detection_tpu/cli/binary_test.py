@@ -154,15 +154,17 @@ def main(argv=None):
 
     # int8 defaults ON where supported, like ssn_test (e2e mode; accuracy
     # bounds in tests/test_int8.py)
+    from ..models.backbones.quantize import (calibrate_e2e_backbone,
+                                             int8_support_error, supports_int8)
+
     use_int8 = (args.int8 if args.int8 is not None
-                else args.arch == "BNInception")
-    if use_int8 and args.arch != "BNInception":
-        raise SystemExit(f"--int8 supports the BNInception backbone only "
-                         f"(got --arch {args.arch})")
+                else supports_int8(args.arch, args.int8_mode))
+    if use_int8 and not supports_int8(args.arch, args.int8_mode):
+        raise SystemExit(int8_support_error(args.arch, args.int8_mode))
     quantized = act_scales = None
     if use_int8:
         from ..models.backbones.bn_inception_int8 import (
-            calibrate_activation_scales, calibrate_e2e, quantize_backbone)
+            calibrate_activation_scales, quantize_backbone)
 
         # calibration frames spread across several videos (one-video max-abs
         # calibration under-covers the activation range of the rest)
@@ -182,7 +184,8 @@ def main(argv=None):
         bb_params = ck["params"]["backbone"]
         bb_stats = (ck["batch_stats"] or {}).get("backbone", {})
         if args.int8_mode == "e2e":
-            quantized = calibrate_e2e(bb_params, bb_stats, sample)
+            quantized = calibrate_e2e_backbone(args.arch, bb_params, bb_stats,
+                                               sample)
         else:
             quantized = quantize_backbone(bb_params, bb_stats)
             act_scales = calibrate_activation_scales(quantized, sample)
@@ -211,12 +214,14 @@ def main(argv=None):
         else:
             x = preprocess_frames(frames_u8, spec, args.modality, new_length)
         if quantized is not None:
-            from ..models.backbones.bn_inception_int8 import (
-                bninception_int8_e2e_features, bninception_int8_features)
-
             if args.int8_mode == "e2e":
-                feats = bninception_int8_e2e_features(quantized, x)
+                from ..models.backbones.quantize import int8_e2e_features
+
+                feats = int8_e2e_features(args.arch, quantized, x)
             else:
+                from ..models.backbones.bn_inception_int8 import (
+                    bninception_int8_features)
+
                 feats = bninception_int8_features(quantized, x,
                                                   act_scales=act_scales)
             return jnp.matmul(feats, head["kernel"],

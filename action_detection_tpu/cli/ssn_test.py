@@ -132,14 +132,15 @@ def main(argv=None):
                 else args.flow_pref + "{}_{:05d}.jpg")
         provider = DirectoryFrameProvider(args.data_root, tmpl, args.modality)
 
-    # int8 defaults ON where supported (BNInception): the e2e-quantized
-    # backbone is the sanctioned throughput path, with its detection-metric
-    # delta bounded end-to-end (tests/test_int8.py, DESIGN.md)
+    # int8 defaults ON where supported (BNInception, InceptionV3): the
+    # e2e-quantized backbone is the sanctioned throughput path, with its
+    # detection-metric delta bounded end-to-end (tests/test_int8.py, DESIGN.md)
+    from ..models.backbones.quantize import int8_support_error, supports_int8
+
     use_int8 = (args.int8 if args.int8 is not None
-                else args.arch == "BNInception")
-    if use_int8 and args.arch != "BNInception":
-        raise SystemExit(f"--int8 supports the BNInception backbone only "
-                         f"(got --arch {args.arch})")
+                else supports_int8(args.arch, args.int8_mode))
+    if use_int8 and not supports_int8(args.arch, args.int8_mode):
+        raise SystemExit(int8_support_error(args.arch, args.int8_mode))
     calibration_frames = None
     if use_int8:
         # calibrate activation scales on frames spread across several test

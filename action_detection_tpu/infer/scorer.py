@@ -120,7 +120,8 @@ class ProposalScorer:
             feat_multiplier=self.stpp.feat_multiplier,
             with_regression=with_regression)
 
-        # optional int8 quantized backbone (BNInception only). Two modes:
+        # optional int8 quantized backbone (BNInception + InceptionV3; see
+        # models/backbones/quantize.py). Two modes:
         # * "e2e" (default; quantize=True maps here): int8 activations
         #   end-to-end, per-conv output scales folded into consumer weights —
         #   the sanctioned 5x path (36.1 vs 37.8 ms per 640-image step,
@@ -138,11 +139,15 @@ class ProposalScorer:
         self._act_scales = None
         self._qp = None
         if self._quantize_mode:
-            if model.base_model != "BNInception":
-                raise ValueError("int8 quantization currently supports the "
-                                 "BNInception backbone only")
+            from ..models.backbones.quantize import (calibrate_e2e_backbone,
+                                                     int8_support_error,
+                                                     supports_int8)
+
+            if not supports_int8(model.base_model, self._quantize_mode):
+                raise ValueError(int8_support_error(model.base_model,
+                                                    self._quantize_mode))
             from ..models.backbones.bn_inception_int8 import (
-                calibrate_activation_scales, calibrate_e2e, quantize_backbone)
+                calibrate_activation_scales, quantize_backbone)
 
             self._qp = (jax.device_get(params["backbone"]),
                         jax.device_get((batch_stats or {}).get("backbone", {})))
@@ -153,7 +158,8 @@ class ProposalScorer:
             if self._quantize_mode == "e2e":
                 if sample is not None:
                     self._quantized = jax.device_put(
-                        calibrate_e2e(*self._qp, sample), self.device)
+                        calibrate_e2e_backbone(model.base_model, *self._qp,
+                                               sample), self.device)
             else:
                 self._quantized = jax.device_put(quantize_backbone(*self._qp),
                                                  self.device)
@@ -221,12 +227,14 @@ class ProposalScorer:
             x = preprocess_frames(frames_u8, self.input_spec, self.modality,
                                   self.model.resolved_new_length)
         if quantized is not None:
-            from ..models.backbones.bn_inception_int8 import (
-                bninception_int8_e2e_features, bninception_int8_features)
-
             if self._quantize_mode == "e2e":
-                feats = bninception_int8_e2e_features(quantized, x)
+                from ..models.backbones.quantize import int8_e2e_features
+
+                feats = int8_e2e_features(self.model.base_model, quantized, x)
             else:
+                from ..models.backbones.bn_inception_int8 import (
+                    bninception_int8_features)
+
                 feats = bninception_int8_features(quantized, x,
                                                   act_scales=act_scales)
         else:
@@ -261,11 +269,12 @@ class ProposalScorer:
         if self._quantize_mode == "e2e" and self._quantized is None:
             # lazy calibration on the first real chunk; jitted so the
             # normalize is one compile, not per-op
-            from ..models.backbones.bn_inception_int8 import calibrate_e2e
+            from ..models.backbones.quantize import calibrate_e2e_backbone
 
             sample = jax.jit(self._prep_calibration)(frames_u8)
             self._quantized = jax.device_put(
-                calibrate_e2e(*self._qp, sample), self.device)
+                calibrate_e2e_backbone(self.model.base_model, *self._qp,
+                                       sample), self.device)
         return self._score_chunk_jit(self._variables, self._kernel, self._bias,
                                      self._quantized, self._act_scales,
                                      frames_u8, n_stacks=n_stacks)
