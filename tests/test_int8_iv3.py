@@ -105,6 +105,42 @@ def test_iv3_int8_e2e_odd_dims(iv3_setup):
     assert got.shape == (1, 2048) and np.isfinite(got).all()
 
 
+def test_iv3_int8_e2e_fused_score_bound(iv3_setup):
+    """Per-head (act/comp/reg) fused-score error bounds for IV3 int8-e2e —
+    the combined score softmax(act)*exp(comp) is what moves mAP, so these
+    mirror the BNInception bounds that justify default-on
+    (test_int8.py::test_quantization_report_on_torch_twin_weights)."""
+    from action_detection_tpu.models import SSN
+    from action_detection_tpu.models.ssn import fuse_test_heads
+    from action_detection_tpu.ops.stpp import (ReorganizedScoreLayout,
+                                               StppConfig,
+                                               reorganized_score_slices)
+
+    backbone, variables = iv3_setup
+    K = 20
+    model = SSN(num_class=K, base_model="InceptionV3", dropout=0.0)
+    head_vars = model.init({"params": jax.random.PRNGKey(1)},
+                           jnp.zeros((1, 9, 95, 95, 3)), jnp.ones((1, 2)),
+                           train=False)
+    kernel, bias = fuse_test_heads(head_vars["params"], K, (1, 1, 1))
+    cfg = StppConfig.from_raw((1, 1, 1))
+    layout = ReorganizedScoreLayout(K + 1, K, 2 * K, cfg.feat_multiplier)
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(2, 95, 95, 3).astype(np.float32) * 255.0 - 117.0)
+    qe = calibrate_e2e_iv3(variables["params"], variables["batch_stats"], x)
+    ref = np.asarray(backbone.apply(variables, x)).astype(np.float64)
+    got = np.asarray(inception_v3_int8_e2e_features(qe, x)).astype(np.float64)
+
+    sref = ref @ np.asarray(kernel) + np.asarray(bias)
+    sgot = got @ np.asarray(kernel) + np.asarray(bias)
+    for name, sl in zip(("act", "comp", "reg"),
+                        reorganized_score_slices(layout)):
+        rel = float(np.linalg.norm(sgot[:, sl] - sref[:, sl])
+                    / (np.linalg.norm(sref[:, sl]) + 1e-12))
+        assert rel < 0.12, (name, rel)
+
+
 def test_iv3_int8_scorer_end_to_end():
     """ProposalScorer(quantize='e2e') on the InceptionV3 backbone, lazy
     calibration, through the full score_video path."""
