@@ -257,7 +257,10 @@ class ProposalScorer:
         matters for Flow's inverted planes); crop-shaped inputs pass through.
         """
         cs = self.input_spec.input_size
-        if frames.shape[1] == cs and frames.shape[2] == cs:
+        if frames.shape[1] < cs or frames.shape[2] < cs or \
+                (frames.shape[1] == cs and frames.shape[2] == cs):
+            # already crop-shaped (or smaller than a crop — treat as crops;
+            # oversampling would compute negative offsets and slice garbage)
             return preprocess_frames(frames, self.input_spec, self.modality,
                                      self.model.resolved_new_length)
         crops = device_oversample_normed(frames, self.input_spec,

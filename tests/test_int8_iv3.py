@@ -83,6 +83,9 @@ def test_iv3_int8_e2e_features_close_to_float(iv3_setup):
 
     qe = calibrate_e2e_iv3(variables["params"], variables["batch_stats"], x)
     assert qe["__feat_scale__"].shape == (2048,)
+    # the walker quantized every folded conv exactly once
+    folded = fold_bn_iv3(variables["params"], variables["batch_stats"])
+    assert set(qe) - {"__input_scale__", "__feat_scale__"} == set(folded)
 
     ref = np.asarray(backbone.apply(variables, x)).astype(np.float64)
     got = np.asarray(inception_v3_int8_e2e_features(qe, x)).astype(np.float64)
