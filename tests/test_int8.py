@@ -130,6 +130,48 @@ def test_int8_e2e_features_close_to_float(backbone_setup):
     assert rel_rms < 0.12, rel_rms
 
 
+def test_int8_e2e_flow_modality(backbone_setup):
+    """ssn_test defaults int8-e2e on for Flow runs too: the quantizer must
+    handle the 10-channel Flow conv1 (ssn_models.py:318-343 surgery) and
+    flow-normalized inputs (mean 128, no BGR) at the same accuracy bound."""
+    from action_detection_tpu.models.backbones.bn_inception_int8 import (
+        bninception_int8_e2e_features, calibrate_e2e)
+
+    backbone, _, spec = get_backbone("BNInception", "Flow")
+    assert spec.mean == (128.0,)
+    variables = backbone.init(jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 10)))
+    rng = np.random.RandomState(7)
+
+    # reuse the module fixture's realistic BN jitter on the Flow param tree
+    _, rgb_vars = backbone_setup
+    jittered = {"params": dict(variables["params"]),
+                "batch_stats": dict(variables["batch_stats"])}
+    for col in ("params", "batch_stats"):
+        for name, leaf in rgb_vars[col].items():
+            if name != "conv1_7x7_s2":  # all but the surgered stem conv match
+                jittered[col][name] = leaf
+    k = np.asarray(variables["params"]["conv1_7x7_s2"]["kernel"])
+    jittered["params"]["conv1_7x7_s2"] = {
+        "kernel": jnp.asarray(0.05 * rng.randn(*k.shape).astype(np.float32)),
+        "bias": jnp.asarray(0.01 * rng.randn(64).astype(np.float32)),
+    }
+    variables = jittered
+
+    # flow-normalized inputs: uint8-scale stacked flow fields minus mean 128
+    x = jnp.asarray(rng.rand(2, 64, 64, 10).astype(np.float32) * 255.0 - 128.0)
+    qe = calibrate_e2e(variables["params"], variables["batch_stats"], x)
+
+    ref = np.asarray(backbone.apply(variables, x)).astype(np.float64)
+    got = np.asarray(bninception_int8_e2e_features(qe, x)).astype(np.float64)
+    assert got.shape == ref.shape == (2, 1024)
+    assert np.isfinite(got).all()
+    for r, g in zip(ref, got):
+        cos = float(np.dot(r, g) / (np.linalg.norm(r) * np.linalg.norm(g) + 1e-9))
+        assert cos > 0.99, cos
+    rel_rms = float(np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9))
+    assert rel_rms < 0.12, rel_rms
+
+
 def test_int8_e2e_lazy_calibration(backbone_setup):
     """ProposalScorer e2e mode without calibration_frames calibrates on the
     first chunk and scores finitely."""
