@@ -204,7 +204,8 @@ def _conv_i8_e2e(xq: jnp.ndarray, layer: dict, stride: int = 1,
 
 
 def quantize_backbone_e2e(params: dict, batch_stats: dict,
-                          out_maxes: Dict[str, float]) -> QuantizedParams:
+                          out_maxes: Dict[str, float],
+                          hybrid_stem: bool = True) -> QuantizedParams:
     """BN-fold + int8-quantize with input-scale folding for e2e activations.
 
     ``out_maxes``: {"input": max|normalized input|, conv_name: max post-ReLU
@@ -215,6 +216,13 @@ def quantize_backbone_e2e(params: dict, batch_stats: dict,
     comment), then quantize per-output-channel. Returns the conv dicts plus
     ``__input_scale__`` (scalar) and ``__feat_scale__`` ((1024,): the final
     concat's per-channel scales, applied after global average pooling).
+
+    ``hybrid_stem``: keep conv1..conv2_3x3 in bf16 (folded weights under
+    ``__stem__``) and quantize once at the stem output. The C=3 7x7 stem conv
+    can't fill the MXU in any dtype, so its int8 quant/requant round-trips
+    cost more than int8 saves there — measured 29.3 vs 34.3 ms per 640-image
+    step on one v5e (scripts/int8_stage_probe.py), and the bf16 stem is also
+    the more accurate one.
     """
     folded = fold_bn(params, batch_stats)
     s = {k: max(float(v), 1e-8) / 127.0 for k, v in out_maxes.items()}
@@ -235,9 +243,18 @@ def quantize_backbone_e2e(params: dict, batch_stats: dict,
                         jnp.float32)}
         return so
 
-    s1 = quant("conv1_7x7_s2", s["input"])
-    s2r = quant("conv2_3x3_reduce", s1)
-    s2 = quant("conv2_3x3", s2r)
+    if hybrid_stem:
+        s2 = s["conv2_3x3"]
+        qe["__stem__"] = {
+            name: {"kernel": jnp.asarray(folded[name]["kernel"],
+                                         jnp.bfloat16),
+                   "bias": jnp.asarray(folded[name]["bias"], jnp.bfloat16)}
+            for name in ("conv1_7x7_s2", "conv2_3x3_reduce", "conv2_3x3")}
+        qe["__stem_scale__"] = jnp.asarray(s2, jnp.float32)
+    else:
+        s1 = quant("conv1_7x7_s2", s["input"])
+        s2r = quant("conv2_3x3_reduce", s1)
+        s2 = quant("conv2_3x3", s2r)
     sx = np.full(folded["conv2_3x3"]["kernel"].shape[3], s2)
     for (name, c1, _c3r, c3, _d3r, _d31, cd32, cproj, _pool, stride) in _INCEPTION_CFG:
         parts = []
@@ -263,22 +280,41 @@ def bninception_int8_e2e_features(qe: QuantizedParams,
                                   x: jnp.ndarray) -> jnp.ndarray:
     """(N, H, W, C) normalized frames -> (N, 1024) features, int8 end-to-end.
 
-    Activations stay int8 from the input quantization to the final concat;
+    Activations stay int8 from the (first) quantization to the final concat;
     the only float work per conv is the fused s32->int8 epilogue. Dequantize
     happens once, after global average pooling (49-way averaging also averages
-    the final requant rounding error down)."""
-    sin = qe["__input_scale__"]
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sin), -127, 127) \
-        .astype(jnp.int8)
+    the final requant rounding error down).
 
+    With a hybrid-stem ``qe`` (the default from :func:`quantize_backbone_e2e`)
+    the stem runs in bf16 on the folded weights and the single quantization
+    point is the stem output."""
     def conv(xx, name, stride=1, pad=0):
         return _conv_i8_e2e(xx, qe[name], stride=stride, pad=pad)
 
-    h = conv(xq, "conv1_7x7_s2", stride=2, pad=3)
-    h = _max_pool_i8(h, 3, 2, ceil=True)
-    h = conv(h, "conv2_3x3_reduce")
-    h = conv(h, "conv2_3x3", pad=1)
-    h = _max_pool_i8(h, 3, 2, ceil=True)
+    if "__stem__" in qe:
+        def sconv(hh, name, stride=1, pad=0):
+            f = qe["__stem__"][name]
+            y = jax.lax.conv_general_dilated(
+                hh, f["kernel"], (stride, stride), ((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.maximum(y + f["bias"], 0)
+
+        h = sconv(x.astype(jnp.bfloat16), "conv1_7x7_s2", stride=2, pad=3)
+        h = _max_pool(h, 3, 2, ceil=True)
+        h = sconv(h, "conv2_3x3_reduce")
+        h = sconv(h, "conv2_3x3", pad=1)
+        h = _max_pool(h, 3, 2, ceil=True)
+        h = jnp.clip(jnp.round(h.astype(jnp.float32) / qe["__stem_scale__"]),
+                     0, 127).astype(jnp.int8)
+    else:
+        sin = qe["__input_scale__"]
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sin), -127, 127) \
+            .astype(jnp.int8)
+        h = conv(xq, "conv1_7x7_s2", stride=2, pad=3)
+        h = _max_pool_i8(h, 3, 2, ceil=True)
+        h = conv(h, "conv2_3x3_reduce")
+        h = conv(h, "conv2_3x3", pad=1)
+        h = _max_pool_i8(h, 3, 2, ceil=True)
 
     for (name, c1, _c3r, _c3, _d3r, _d31, _d32, _proj, pool, stride) in _INCEPTION_CFG:
         branches = []
@@ -302,13 +338,20 @@ def bninception_int8_e2e_features(qe: QuantizedParams,
     return jnp.mean(h.astype(jnp.float32), axis=(1, 2)) * qe["__feat_scale__"]
 
 
-def _e2e_output_maxes(q: QuantizedParams, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+def _e2e_output_maxes(q: QuantizedParams, x: jnp.ndarray,
+                      stem_folded: dict = None) -> Dict[str, jnp.ndarray]:
     """Traced calibration pass: each conv's post-ReLU OUTPUT max (+ input max).
 
     Runs the per-layer dynamic-scale int8 forward (closer to the quantized
     network's activations than the f32 forward) through the same topology and
     records the maxima the e2e scale assignment needs. One jittable function
-    -> one remote compile, one bulk fetch."""
+    -> one remote compile, one bulk fetch.
+
+    ``stem_folded``: when given (hybrid-stem calibration), the stem runs in
+    bf16 on these folded weights instead of the int8 proxy, matching the
+    hybrid runtime — the conv2_3x3 max then reflects the actual tensor the
+    runtime quantizes (an int8-proxy stem under-estimated it enough to
+    saturate detections: combined-score delta 0.148 vs the 0.12 bound)."""
     maxes: Dict[str, jnp.ndarray] = {
         "input": jnp.max(jnp.abs(x)).astype(jnp.float32)}
 
@@ -318,11 +361,28 @@ def _e2e_output_maxes(q: QuantizedParams, x: jnp.ndarray) -> Dict[str, jnp.ndarr
         return out
 
     h = x.astype(jnp.bfloat16)
-    h = conv(h, "conv1_7x7_s2", stride=2, pad=3)
-    h = _max_pool(h, 3, 2, ceil=True)
-    h = conv(h, "conv2_3x3_reduce")
-    h = conv(h, "conv2_3x3", pad=1)
-    h = _max_pool(h, 3, 2, ceil=True)
+    if stem_folded is not None:
+        def sconv(hh, name, stride=1, pad=0):
+            f = stem_folded[name]
+            y = jax.lax.conv_general_dilated(
+                hh, jnp.asarray(f["kernel"], jnp.bfloat16), (stride, stride),
+                ((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            out = jnp.maximum(y + jnp.asarray(f["bias"], jnp.bfloat16), 0)
+            maxes[name] = jnp.max(out).astype(jnp.float32)
+            return out
+
+        h = sconv(h, "conv1_7x7_s2", stride=2, pad=3)
+        h = _max_pool(h, 3, 2, ceil=True)
+        h = sconv(h, "conv2_3x3_reduce")
+        h = sconv(h, "conv2_3x3", pad=1)
+        h = _max_pool(h, 3, 2, ceil=True)
+    else:
+        h = conv(h, "conv1_7x7_s2", stride=2, pad=3)
+        h = _max_pool(h, 3, 2, ceil=True)
+        h = conv(h, "conv2_3x3_reduce")
+        h = conv(h, "conv2_3x3", pad=1)
+        h = _max_pool(h, 3, 2, ceil=True)
     for (name, c1, _c3r, _c3, _d3r, _d31, _d32, _proj, pool, stride) in _INCEPTION_CFG:
         branches = []
         if c1 is not None:
@@ -345,15 +405,24 @@ def _e2e_output_maxes(q: QuantizedParams, x: jnp.ndarray) -> Dict[str, jnp.ndarr
 
 
 def calibrate_e2e(params: dict, batch_stats: dict,
-                  sample_frames: jnp.ndarray) -> QuantizedParams:
+                  sample_frames: jnp.ndarray,
+                  hybrid_stem: bool = True) -> QuantizedParams:
     """Calibrate + build the e2e-quantized backbone in one step.
 
     ``sample_frames``: representative NORMALIZED frames (multi-video spread —
     max-abs calibration from one video under-covers the rest; an activation
     exceeding its calibrated max at runtime saturates at 127)."""
     q0 = quantize_backbone(params, batch_stats)
-    maxes = jax.device_get(jax.jit(_e2e_output_maxes)(q0, sample_frames))
-    return quantize_backbone_e2e(params, batch_stats, maxes)
+    stem_folded = None
+    if hybrid_stem:
+        folded = fold_bn(params, batch_stats)
+        stem_folded = {k: jax.tree_util.tree_map(jnp.asarray, folded[k])
+                       for k in ("conv1_7x7_s2", "conv2_3x3_reduce",
+                                 "conv2_3x3")}
+    maxes = jax.device_get(jax.jit(_e2e_output_maxes)(
+        q0, sample_frames, stem_folded))
+    return quantize_backbone_e2e(params, batch_stats, maxes,
+                                 hybrid_stem=hybrid_stem)
 
 
 def quantization_report(backbone, variables, frames,

@@ -75,16 +75,23 @@ def fold_bn_iv3(params: dict, batch_stats: dict,
     return out
 
 
-def _walk(ops, x):
-    """The IV3 topology (inception_v3.py:178-207), over an ops interface."""
+_STEM_CONVS = ("Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
+               "Conv2d_3b_1x1", "Conv2d_4a_3x3")
+
+
+def _walk_stem(ops, x):
+    """IV3 stem (inception_v3.py:178-184): input -> (35x35, 192)."""
     x = ops.conv(x, "Conv2d_1a_3x3", stride=2)
     x = ops.conv(x, "Conv2d_2a_3x3")
     x = ops.conv(x, "Conv2d_2b_3x3", pad=_SAME3)
     x = ops.max_pool(x)
     x = ops.conv(x, "Conv2d_3b_1x1")
     x = ops.conv(x, "Conv2d_4a_3x3")
-    x = ops.max_pool(x)
+    return ops.max_pool(x)
 
+
+def _walk_trunk(ops, x):
+    """IV3 Mixed modules (inception_v3.py:185-207): (35x35, 192) -> features."""
     for name in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):     # 35x35 modules
         b0 = ops.conv(x, f"{name}/branch1x1")
         b1 = ops.conv(x, f"{name}/branch5x5_1")
@@ -137,6 +144,11 @@ def _walk(ops, x):
         x = ops.concat([b0, b1, b2, b3])
 
     return ops.finish(x)
+
+
+def _walk(ops, x):
+    """The full IV3 topology, over an ops interface."""
+    return _walk_trunk(ops, _walk_stem(ops, x))
 
 
 # --------------------------- calibration face ------------------------------
@@ -269,6 +281,25 @@ class _ForwardOps:
             * self.qe["__feat_scale__"]
 
 
+class _StemBf16Ops:
+    """bf16 runtime for the hybrid stem: folded conv + bias + ReLU."""
+
+    def __init__(self, stem):
+        self.stem = stem
+
+    def conv(self, x, name, stride=1, pad=_NOPAD):
+        f = self.stem[name]
+        y = jax.lax.conv_general_dilated(
+            x, f["kernel"], (stride, stride), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.maximum(y + f["bias"], 0)
+
+    def max_pool(self, x):
+        return jax.lax.reduce_window(x, jnp.asarray(-jnp.inf, x.dtype),
+                                     jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+                                     [(0, 0), (0, 0), (0, 0), (0, 0)])
+
+
 # --------------------------- public API ------------------------------------
 
 
@@ -280,11 +311,17 @@ def _calibration_maxes_iv3(folded, x):
 
 
 def calibrate_e2e_iv3(params: dict, batch_stats: dict,
-                      sample_frames: jnp.ndarray) -> QuantizedParams:
+                      sample_frames: jnp.ndarray,
+                      hybrid_stem: bool = False) -> QuantizedParams:
     """Calibrate + build the e2e-quantized IV3 backbone.
 
     ``sample_frames``: representative NORMALIZED crop-shaped frames (any
-    spatial size works for IV3 — VALID semantics, no ceil-mode)."""
+    spatial size works for IV3 — VALID semantics, no ceil-mode).
+
+    ``hybrid_stem``: keep Conv2d_1a..Conv2d_4a in bf16 (folded weights under
+    ``__stem__``) and quantize once at the stem output. The IV3 calibration
+    face is already the float forward, so its Conv2d_4a_3x3 max is exactly
+    the tensor the hybrid runtime quantizes (max pool preserves the max)."""
     folded = fold_bn_iv3(params, batch_stats)
     # folded weights ride as jit ARGUMENTS: embedded-constant executables
     # degrade the process's transfers (infer/scorer.py:_score_chunk_impl)
@@ -293,15 +330,30 @@ def calibrate_e2e_iv3(params: dict, batch_stats: dict,
     scales = {k: max(float(v), 1e-8) / 127.0 for k, v in maxes.items()}
     qe: QuantizedParams = {"__input_scale__": jnp.asarray(scales["input"],
                                                           jnp.float32)}
-    # input channel count from the stem conv's kernel (3 RGB / 10 Flow)
-    cin = folded["Conv2d_1a_3x3"]["kernel"].shape[2]
-    _walk(_ScaleOps(folded, scales, qe), np.full(cin, scales["input"]))
+    if hybrid_stem:
+        qe["__stem__"] = {
+            n: {"kernel": jnp.asarray(folded[n]["kernel"], jnp.bfloat16),
+                "bias": jnp.asarray(folded[n]["bias"], jnp.bfloat16)}
+            for n in _STEM_CONVS}
+        s4a = scales["Conv2d_4a_3x3"]
+        qe["__stem_scale__"] = jnp.asarray(s4a, jnp.float32)
+        cin_trunk = folded["Conv2d_4a_3x3"]["kernel"].shape[3]    # 192
+        _walk_trunk(_ScaleOps(folded, scales, qe), np.full(cin_trunk, s4a))
+    else:
+        # input channel count from the stem conv's kernel (3 RGB / 10 Flow)
+        cin = folded["Conv2d_1a_3x3"]["kernel"].shape[2]
+        _walk(_ScaleOps(folded, scales, qe), np.full(cin, scales["input"]))
     return qe
 
 
 def inception_v3_int8_e2e_features(qe: QuantizedParams,
                                    x: jnp.ndarray) -> jnp.ndarray:
     """(N, H, W, C) normalized frames -> (N, 2048) features, int8 end-to-end."""
+    if "__stem__" in qe:
+        h = _walk_stem(_StemBf16Ops(qe["__stem__"]), x.astype(jnp.bfloat16))
+        xq = jnp.clip(jnp.round(h.astype(jnp.float32) / qe["__stem_scale__"]),
+                      0, 127).astype(jnp.int8)
+        return _walk_trunk(_ForwardOps(qe), xq)
     sin = qe["__input_scale__"]
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sin), -127, 127) \
         .astype(jnp.int8)

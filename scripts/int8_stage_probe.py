@@ -54,17 +54,22 @@ def main():
     x_cal = jnp.asarray(rng.rand(8, 224, 224, 3).astype(np.float32) * 255 - 117)
     q0 = quantize_backbone(params, batch_stats)
     maxes = jax.device_get(jax.jit(_e2e_output_maxes)(q0, x_cal))
-    qe = quantize_backbone_e2e(params, batch_stats, maxes)
+    qe = quantize_backbone_e2e(params, batch_stats, maxes, hybrid_stem=False)
+    qe_h = quantize_backbone_e2e(params, batch_stats, maxes)  # shipped hybrid
     folded = jax.tree_util.tree_map(
         jnp.asarray, fold_bn(params, batch_stats))
-    s2 = max(float(maxes["conv2_3x3"]), 1e-8) / 127.0
 
     x = jnp.asarray(rng.rand(B, 224, 224, 3).astype(np.float32) * 255 - 117)
 
     def timed(fn, weights, xin, n=N, repeats=3):
         def looped(weights, xin):
             def body(i, acc):
-                out = fn(weights, xin * (1.0 + i.astype(xin.dtype) * 1e-6))
+                if jnp.issubdtype(xin.dtype, jnp.integer):
+                    # value-perturb without dtype promotion (int8 stays int8)
+                    xp = jnp.bitwise_xor(xin, (i & 1).astype(xin.dtype))
+                else:
+                    xp = xin * (1.0 + i.astype(xin.dtype) * 1e-6)
+                out = fn(weights, xp)
                 return acc + out.reshape(-1)[0].astype(jnp.float32)
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
@@ -132,22 +137,17 @@ def main():
             h = jnp.concatenate(branches, axis=-1)
         return jnp.mean(h.astype(jnp.float32), axis=(1, 2)) * qe["__feat_scale__"]
 
-    def hybrid(weights, xf):
-        qe_, folded_ = weights
-        h = bf16_stem(folded_, xf)
-        hq = jnp.clip(jnp.round(h.astype(jnp.float32) / s2), 0, 127) \
-            .astype(jnp.int8)
-        return i8_trunk(qe_, hq)
-
     # sanity: hybrid features track the all-int8 features
     f_all = np.asarray(jax.jit(bninception_int8_e2e_features)(qe, x[:4]))
-    f_hy = np.asarray(jax.jit(hybrid)((qe, folded), x[:4]))
+    f_hy = np.asarray(jax.jit(bninception_int8_e2e_features)(qe_h, x[:4]))
     cos = float(np.sum(f_all * f_hy) /
                 (np.linalg.norm(f_all) * np.linalg.norm(f_hy) + 1e-9))
     print(f"hybrid-vs-int8 feature cosine: {cos:.5f}", flush=True)
 
-    report("int8-e2e full", timed(bninception_int8_e2e_features, qe, x))
-    report("hybrid bf16-stem full", timed(hybrid, (qe, folded), x))
+    report("int8-e2e full (all-int8)",
+           timed(bninception_int8_e2e_features, qe, x))
+    report("hybrid bf16-stem (shipped)",
+           timed(bninception_int8_e2e_features, qe_h, x))
     h_i8 = jax.jit(i8_stem)(qe, x)
     report("int8 stem only", timed(i8_stem, qe, x))
     report("bf16 stem only", timed(bf16_stem, folded, x))

@@ -98,6 +98,36 @@ def test_iv3_int8_e2e_features_close_to_float(iv3_setup):
     assert rel_rms < 0.12, rel_rms
 
 
+def test_iv3_int8_e2e_hybrid_stem(iv3_setup):
+    """hybrid_stem=True: bf16 folded stem + int8 trunk, quantized once at the
+    Conv2d_4a output. Must be at least as close to float as the all-int8
+    path (the stem is exact, so only trunk quantization error remains)."""
+    backbone, variables = iv3_setup
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(2, 95, 95, 3).astype(np.float32) * 255.0 - 117.0)
+
+    qe_h = calibrate_e2e_iv3(variables["params"], variables["batch_stats"], x,
+                             hybrid_stem=True)
+    assert set(qe_h["__stem__"]) == {
+        "Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
+        "Conv2d_3b_1x1", "Conv2d_4a_3x3"}
+    # stem convs are NOT in the int8 table
+    assert "Conv2d_1a_3x3" not in qe_h
+
+    ref = np.asarray(backbone.apply(variables, x)).astype(np.float64)
+    got = np.asarray(inception_v3_int8_e2e_features(qe_h, x)) \
+        .astype(np.float64)
+    assert got.shape == (2, 2048) and np.isfinite(got).all()
+    rel_h = float(np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9))
+
+    qe = calibrate_e2e_iv3(variables["params"], variables["batch_stats"], x)
+    got_i8 = np.asarray(inception_v3_int8_e2e_features(qe, x)) \
+        .astype(np.float64)
+    rel_i8 = float(np.linalg.norm(got_i8 - ref) / (np.linalg.norm(ref) + 1e-9))
+    assert rel_h < 0.12, rel_h
+    assert rel_h <= rel_i8 * 1.05, (rel_h, rel_i8)
+
+
 def test_iv3_int8_e2e_odd_dims(iv3_setup):
     """VALID semantics: odd spatial sizes run (unlike BNInception ceil-mode)."""
     backbone, variables = iv3_setup
