@@ -220,9 +220,10 @@ def quantize_backbone_e2e(params: dict, batch_stats: dict,
     ``hybrid_stem``: keep conv1..conv2_3x3 in bf16 (folded weights under
     ``__stem__``) and quantize once at the stem output. The C=3 7x7 stem conv
     can't fill the MXU in any dtype, so its int8 quant/requant round-trips
-    cost more than int8 saves there — measured 29.3 vs 34.3 ms per 640-image
-    step on one v5e (scripts/int8_stage_probe.py), and the bf16 stem is also
-    the more accurate one.
+    cost more than int8 saves there — backbone forward measured 28.7 (hybrid)
+    vs 29.7 (all-int8) ms per 640-image batch in the same process on one v5e
+    (scripts/int8_stage_probe.py), and the bf16 stem is also the more
+    accurate one (features vs all-int8: cosine 0.99998).
     """
     folded = fold_bn(params, batch_stats)
     s = {k: max(float(v), 1e-8) / 127.0 for k, v in out_maxes.items()}

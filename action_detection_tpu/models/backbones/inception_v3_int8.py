@@ -312,7 +312,7 @@ def _calibration_maxes_iv3(folded, x):
 
 def calibrate_e2e_iv3(params: dict, batch_stats: dict,
                       sample_frames: jnp.ndarray,
-                      hybrid_stem: bool = False) -> QuantizedParams:
+                      hybrid_stem: bool = True) -> QuantizedParams:
     """Calibrate + build the e2e-quantized IV3 backbone.
 
     ``sample_frames``: representative NORMALIZED crop-shaped frames (any
@@ -321,7 +321,9 @@ def calibrate_e2e_iv3(params: dict, batch_stats: dict,
     ``hybrid_stem``: keep Conv2d_1a..Conv2d_4a in bf16 (folded weights under
     ``__stem__``) and quantize once at the stem output. The IV3 calibration
     face is already the float forward, so its Conv2d_4a_3x3 max is exactly
-    the tensor the hybrid runtime quantizes (max pool preserves the max)."""
+    the tensor the hybrid runtime quantizes (max pool preserves the max).
+    Default ON: 81.7 vs 85.7 ms per 640-image 299^2 step on one v5e
+    (scripts/iv3_probe.py), and the bf16 stem is exact."""
     folded = fold_bn_iv3(params, batch_stats)
     # folded weights ride as jit ARGUMENTS: embedded-constant executables
     # degrade the process's transfers (infer/scorer.py:_score_chunk_impl)

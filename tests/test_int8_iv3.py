@@ -81,9 +81,11 @@ def test_iv3_int8_e2e_features_close_to_float(iv3_setup):
     # [104,117,128] / std 1, ssn_models.py:133-139)
     x = jnp.asarray(rng.rand(2, 95, 95, 3).astype(np.float32) * 255.0 - 117.0)
 
-    qe = calibrate_e2e_iv3(variables["params"], variables["batch_stats"], x)
+    # all-int8 path (hybrid stem off): the walker quantized every folded
+    # conv exactly once
+    qe = calibrate_e2e_iv3(variables["params"], variables["batch_stats"], x,
+                           hybrid_stem=False)
     assert qe["__feat_scale__"].shape == (2048,)
-    # the walker quantized every folded conv exactly once
     folded = fold_bn_iv3(variables["params"], variables["batch_stats"])
     assert set(qe) - {"__input_scale__", "__feat_scale__"} == set(folded)
 
@@ -99,15 +101,15 @@ def test_iv3_int8_e2e_features_close_to_float(iv3_setup):
 
 
 def test_iv3_int8_e2e_hybrid_stem(iv3_setup):
-    """hybrid_stem=True: bf16 folded stem + int8 trunk, quantized once at the
-    Conv2d_4a output. Must be at least as close to float as the all-int8
-    path (the stem is exact, so only trunk quantization error remains)."""
+    """hybrid_stem=True (the default): bf16 folded stem + int8 trunk,
+    quantized once at the Conv2d_4a output. Must be at least as close to
+    float as the all-int8 path (the stem is exact, so only trunk
+    quantization error remains)."""
     backbone, variables = iv3_setup
     rng = np.random.RandomState(7)
     x = jnp.asarray(rng.rand(2, 95, 95, 3).astype(np.float32) * 255.0 - 117.0)
 
-    qe_h = calibrate_e2e_iv3(variables["params"], variables["batch_stats"], x,
-                             hybrid_stem=True)
+    qe_h = calibrate_e2e_iv3(variables["params"], variables["batch_stats"], x)
     assert set(qe_h["__stem__"]) == {
         "Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
         "Conv2d_3b_1x1", "Conv2d_4a_3x3"}
@@ -120,7 +122,8 @@ def test_iv3_int8_e2e_hybrid_stem(iv3_setup):
     assert got.shape == (2, 2048) and np.isfinite(got).all()
     rel_h = float(np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9))
 
-    qe = calibrate_e2e_iv3(variables["params"], variables["batch_stats"], x)
+    qe = calibrate_e2e_iv3(variables["params"], variables["batch_stats"], x,
+                           hybrid_stem=False)
     got_i8 = np.asarray(inception_v3_int8_e2e_features(qe, x)) \
         .astype(np.float64)
     rel_i8 = float(np.linalg.norm(got_i8 - ref) / (np.linalg.norm(ref) + 1e-9))
@@ -205,6 +208,8 @@ def test_iv3_int8_scorer_end_to_end():
         assert scorer._quantized is None
         out = scorer.score_video(ds.get_test_sample(0), provider)
         assert scorer._quantized is not None
+        # the dispatcher default is the hybrid bf16 stem (iv3_probe.py win)
+        assert "__stem__" in scorer._quantized
         assert np.isfinite(out.act_scores).all()
         assert np.isfinite(out.comp_scores).all()
 
