@@ -60,9 +60,10 @@ def fold_bn(params: dict, batch_stats: dict, eps: float = 1e-5) -> dict:
     return collect(params, batch_stats, {})
 
 
-def quantize_backbone(params: dict, batch_stats: dict) -> QuantizedParams:
+def quantize_backbone(params: dict, batch_stats: dict,
+                      folded: dict = None) -> QuantizedParams:
     """BN-fold then per-output-channel int8-quantize every conv."""
-    folded = fold_bn(params, batch_stats)
+    folded = folded if folded is not None else fold_bn(params, batch_stats)
     q: QuantizedParams = {}
     for name, leaf in folded.items():
         w = leaf["kernel"]
@@ -205,7 +206,8 @@ def _conv_i8_e2e(xq: jnp.ndarray, layer: dict, stride: int = 1,
 
 def quantize_backbone_e2e(params: dict, batch_stats: dict,
                           out_maxes: Dict[str, float],
-                          hybrid_stem: bool = True) -> QuantizedParams:
+                          hybrid_stem: bool = True,
+                          folded: dict = None) -> QuantizedParams:
     """BN-fold + int8-quantize with input-scale folding for e2e activations.
 
     ``out_maxes``: {"input": max|normalized input|, conv_name: max post-ReLU
@@ -225,7 +227,7 @@ def quantize_backbone_e2e(params: dict, batch_stats: dict,
     (scripts/int8_stage_probe.py), and the bf16 stem is also the more
     accurate one (features vs all-int8: cosine 0.99998).
     """
-    folded = fold_bn(params, batch_stats)
+    folded = folded if folded is not None else fold_bn(params, batch_stats)
     s = {k: max(float(v), 1e-8) / 127.0 for k, v in out_maxes.items()}
     qe: QuantizedParams = {}
 
@@ -413,17 +415,17 @@ def calibrate_e2e(params: dict, batch_stats: dict,
     ``sample_frames``: representative NORMALIZED frames (multi-video spread —
     max-abs calibration from one video under-covers the rest; an activation
     exceeding its calibrated max at runtime saturates at 127)."""
-    q0 = quantize_backbone(params, batch_stats)
+    folded = fold_bn(params, batch_stats)      # folded once, shared below
+    q0 = quantize_backbone(params, batch_stats, folded=folded)
     stem_folded = None
     if hybrid_stem:
-        folded = fold_bn(params, batch_stats)
         stem_folded = {k: jax.tree_util.tree_map(jnp.asarray, folded[k])
                        for k in ("conv1_7x7_s2", "conv2_3x3_reduce",
                                  "conv2_3x3")}
     maxes = jax.device_get(jax.jit(_e2e_output_maxes)(
         q0, sample_frames, stem_folded))
     return quantize_backbone_e2e(params, batch_stats, maxes,
-                                 hybrid_stem=hybrid_stem)
+                                 hybrid_stem=hybrid_stem, folded=folded)
 
 
 def quantization_report(backbone, variables, frames,

@@ -21,6 +21,8 @@ published numbers, README.md:299-312):
                               ssn_models.py:318-343)
   * InceptionV3 RGB 1-crop   (299^2, top_cls_fc last layer,
                               ssn_models.py:133-144)
+  * BNInception RGB 10-crop int8-e2e (the ssn_test.py DEFAULT path, bounded
+                              agreement rather than 2e-3-exact)
 
 Agreement here means a real release checkpoint would produce the same
 act/comp/reg scores — and hence the same mAP — through our framework.
@@ -153,14 +155,19 @@ def _reference_frame_scores(ref, sample, provider, spec, modality: str,
     return scores.view(len(sample.frame_ticks), test_crops, D).mean(dim=1)
 
 
-@pytest.mark.parametrize("arch,modality,test_crops", [
-    ("BNInception", "RGB", 1),
-    ("BNInception", "RGB", 10),
-    ("BNInception", "Flow", 1),
-    ("InceptionV3", "RGB", 1),
+@pytest.mark.parametrize("arch,modality,test_crops,quantize", [
+    ("BNInception", "RGB", 1, None),
+    ("BNInception", "RGB", 10, None),
+    ("BNInception", "Flow", 1, None),
+    ("InceptionV3", "RGB", 1, None),
+    # the deployed default: int8-e2e (hybrid bf16 stem) vs the reference's
+    # f32 pipeline — bounded, not exact (quantization error); this is what a
+    # reference user actually gets from ssn_test.py out of the box
+    ("BNInception", "RGB", 10, "e2e"),
 ])
 def test_full_scoring_pipeline_matches_reference(ref_ssn_module, tmp_path,
-                                                 arch, modality, test_crops):
+                                                 arch, modality, test_crops,
+                                                 quantize):
     from tests.test_datasets import write_proposal_list
 
     from action_detection_tpu.config import SamplingConfig
@@ -210,7 +217,7 @@ def test_full_scoring_pipeline_matches_reference(ref_ssn_module, tmp_path,
                             ours["batch_stats"] or None, spec,
                             reg_stats=ours["reg_stats"], num_class=K,
                             test_crops=test_crops, chunk_frames=4,
-                            modality=modality)
+                            modality=modality, quantize=quantize or False)
     out = scorer.score_video(sample, provider)
 
     # reference side: same frames through the reference's own host transform,
@@ -233,6 +240,19 @@ def test_full_scoring_pipeline_matches_reference(ref_ssn_module, tmp_path,
         torch.from_numpy(sample.prop_scaling.astype(np.float64)))
     r_reg = r_reg.numpy().reshape(-1, K, 2) * reg_stats[1] + reg_stats[0]
 
-    np.testing.assert_allclose(out.act_scores, r_act.numpy(), atol=2e-3)
-    np.testing.assert_allclose(out.comp_scores, r_comp.numpy(), atol=2e-3)
-    np.testing.assert_allclose(out.reg_scores, r_reg, atol=2e-3)
+    if quantize:
+        # int8-e2e vs the f32 reference: bounded agreement (the TPU drive of
+        # the same config measured cosine >= 0.9999 / rel <= 0.025)
+        for got, want in ((out.act_scores, r_act.numpy()),
+                          (out.comp_scores, r_comp.numpy()),
+                          (out.reg_scores, r_reg)):
+            g = np.asarray(got, np.float64).ravel()
+            w = np.asarray(want, np.float64).ravel()
+            cos = float(np.dot(g, w)
+                        / (np.linalg.norm(g) * np.linalg.norm(w) + 1e-12))
+            rel = float(np.linalg.norm(g - w) / (np.linalg.norm(w) + 1e-12))
+            assert cos > 0.99 and rel < 0.1, (cos, rel)
+    else:
+        np.testing.assert_allclose(out.act_scores, r_act.numpy(), atol=2e-3)
+        np.testing.assert_allclose(out.comp_scores, r_comp.numpy(), atol=2e-3)
+        np.testing.assert_allclose(out.reg_scores, r_reg, atol=2e-3)
