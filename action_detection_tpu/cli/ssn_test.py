@@ -40,6 +40,16 @@ def build_parser() -> argparse.ArgumentParser:
                         help="e2e: int8 activations end-to-end (fastest, "
                              "default); perlayer: dequant/requant around "
                              "each conv")
+    parser.add_argument("--shared_stem", action="store_true", default=None,
+                        help="run the backbone stem once per frame+flip and "
+                             "slice the 10 crop windows on the stride-8 "
+                             "trunk-input grid (~2.9x less stem work; "
+                             "approximate — offsets snap <=4px; bounded "
+                             "end-to-end in tests/test_sharedstem.py). "
+                             "Requires int8-e2e + 10 device crops")
+    parser.add_argument("--no_shared_stem", dest="shared_stem",
+                        action="store_false",
+                        help="force per-crop stem computation")
     parser.add_argument("--gpus", "--devices", dest="devices", nargs="+",
                         type=int, default=None,
                         help="local device indices to fan videos out over "
@@ -77,6 +87,30 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    # int8 defaults ON where supported (BNInception, InceptionV3): the
+    # e2e-quantized backbone is the sanctioned throughput path, with its
+    # detection-metric delta bounded end-to-end (tests/test_int8.py, DESIGN.md)
+    from ..models.backbones.quantize import (int8_support_error,
+                                             supports_int8,
+                                             supports_shared_stem)
+
+    use_int8 = (args.int8 if args.int8 is not None
+                else supports_int8(args.arch, args.int8_mode))
+    if use_int8 and not supports_int8(args.arch, args.int8_mode):
+        raise SystemExit(int8_support_error(args.arch, args.int8_mode))
+
+    # shared-stem: opt-in for now (throughput measured in
+    # scripts/sharedstem_probe.py; accuracy bounded in tests/test_sharedstem.py)
+    use_shared = (args.shared_stem if args.shared_stem is not None
+                  else False)
+    if use_shared and not (use_int8 and args.int8_mode == "e2e"
+                           and args.test_crops == 10
+                           and supports_shared_stem(args.arch)):
+        raise SystemExit("--shared_stem requires int8-e2e, 10 test crops, "
+                         f"and a wired backbone (got arch={args.arch}, "
+                         f"int8={use_int8}/{args.int8_mode}, "
+                         f"crops={args.test_crops})")
 
     import jax
 
@@ -132,15 +166,6 @@ def main(argv=None):
                 else args.flow_pref + "{}_{:05d}.jpg")
         provider = DirectoryFrameProvider(args.data_root, tmpl, args.modality)
 
-    # int8 defaults ON where supported (BNInception, InceptionV3): the
-    # e2e-quantized backbone is the sanctioned throughput path, with its
-    # detection-metric delta bounded end-to-end (tests/test_int8.py, DESIGN.md)
-    from ..models.backbones.quantize import int8_support_error, supports_int8
-
-    use_int8 = (args.int8 if args.int8 is not None
-                else supports_int8(args.arch, args.int8_mode))
-    if use_int8 and not supports_int8(args.arch, args.int8_mode):
-        raise SystemExit(int8_support_error(args.arch, args.int8_mode))
     calibration_frames = None
     if use_int8:
         # calibrate activation scales on frames spread across several test
@@ -175,7 +200,8 @@ def main(argv=None):
                               with_regression=not args.no_regression,
                               quantize=args.int8_mode if use_int8 else False,
                               calibration_frames=calibration_frames,
-                              decode_threads=args.workers)
+                              decode_threads=args.workers,
+                              shared_stem=use_shared)
 
     n = len(dataset.video_list)
     if args.max_num > 0:

@@ -306,6 +306,31 @@ def device_oversample(frames, crop_size: int, modality: str = "RGB"):
     return out.reshape((-1,) + out.shape[2:])
 
 
+def device_normed_pair(frames, spec, modality: str = "RGB",
+                       new_length: int = 1, dtype=None):
+    """Normalized frames + the flip SOURCE tensor (jittable).
+
+    Returns ``(xn, flip_src)``: ``xn`` is the normalized frames, ``flip_src``
+    is what horizontal flips must be cut from — identical to ``xn`` except
+    Flow, whose flow-x planes are inverted on flip (``ImageOps.invert``
+    happens on uint8 BEFORE normalization in the composed host path, so the
+    inverted planes are normalized from ``255 - frames`` directly — still
+    elementwise, still bit-identical). Shared by the 10-crop oversample and
+    the shared-stem scorer path.
+    """
+    import jax.numpy as jnp
+
+    xn = preprocess_frames(frames, spec, modality, new_length, dtype=dtype)
+    if modality == "Flow":
+        inv = preprocess_frames(jnp.asarray(255, frames.dtype) - frames, spec,
+                                modality, new_length, dtype=dtype)
+        is_x = (jnp.arange(xn.shape[-1]) % 2 == 0)
+        flip_src = jnp.where(is_x[None, None, None, :], inv, xn)
+    else:
+        flip_src = xn
+    return xn, flip_src
+
+
 def device_oversample_normed(frames, spec, modality: str = "RGB",
                              new_length: int = 1,
                              crop_size: Optional[int] = None, dtype=None):
@@ -337,14 +362,8 @@ def device_oversample_normed(frames, spec, modality: str = "RGB",
     import jax.numpy as jnp
 
     crop_size = crop_size or spec.input_size
-    xn = preprocess_frames(frames, spec, modality, new_length, dtype=dtype)
-    if modality == "Flow":
-        inv = preprocess_frames(jnp.asarray(255, frames.dtype) - frames, spec,
-                                modality, new_length, dtype=dtype)
-        is_x = (jnp.arange(xn.shape[-1]) % 2 == 0)
-        flip_src = jnp.where(is_x[None, None, None, :], inv, xn)
-    else:
-        flip_src = xn
+    xn, flip_src = device_normed_pair(frames, spec, modality, new_length,
+                                      dtype=dtype)
     _, H, W, _ = xn.shape
     groups = []
     for o_w, o_h in fill_fix_offset(False, W, H, crop_size, crop_size):

@@ -76,7 +76,8 @@ class ProposalScorer:
                  quantize: bool = False,
                  calibration_frames: Optional[np.ndarray] = None,
                  device_crops: Optional[bool] = None,
-                 decode_threads: Optional[int] = None):
+                 decode_threads: Optional[int] = None,
+                 shared_stem: Optional[bool] = None):
         self.model = model
         self.input_spec = input_spec
         self.test_crops = test_crops
@@ -103,6 +104,19 @@ class ProposalScorer:
         # device-crops-only paths (iter_test_frame_batches takes no executor)
         self._decode_pool = (make_decode_pool(decode_threads)
                              if self.device_crops else None)
+        # shared-stem 10-crop scoring: the stem runs per frame+flip instead
+        # of per crop (~2.9x less stem conv work; approximate — crop offsets
+        # snap to the stride-8 trunk grid, bounded end-to-end like int8 in
+        # tests/test_sharedstem.py). int8-e2e + device-crops only.
+        from ..models.backbones.quantize import supports_shared_stem
+        can_share = (self.device_crops
+                     and supports_shared_stem(model.base_model))
+        self.shared_stem = bool(shared_stem) and can_share
+        if shared_stem and not can_share:
+            raise ValueError(
+                "shared_stem requires device 10-crop oversampling and a "
+                f"supported backbone (got {model.base_model!r}, "
+                f"device_crops={self.device_crops})")
 
         kernel, bias = fuse_test_heads(params, self.num_class, stpp_cfg,
                                        with_regression=with_regression)
@@ -135,6 +149,9 @@ class ProposalScorer:
                                .get(quantize, quantize))
         if self._quantize_mode not in (None, "e2e", "perlayer"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
+        if self.shared_stem and self._quantize_mode != "e2e":
+            raise ValueError("shared_stem is only wired for the int8-e2e "
+                             f"backbone (quantize={quantize!r})")
         self._quantized = None
         self._act_scales = None
         self._qp = None
@@ -213,6 +230,22 @@ class ProposalScorer:
         Crops are mean-reduced on *features* before the fused FC — identical
         by linearity, and ~3% faster measured on chip (fewer FC rows).
         """
+        if self.shared_stem and quantized is not None:
+            # stem per frame+flip; crop windows sliced on the trunk-input
+            # grid (see bninception_int8_e2e_features_sharedstem)
+            from ..data.transforms import device_normed_pair
+            from ..models.backbones.quantize import (
+                int8_e2e_features_sharedstem)
+
+            xn, flip_src = device_normed_pair(
+                frames_u8, self.input_spec, self.modality,
+                self.model.resolved_new_length)
+            feats = int8_e2e_features_sharedstem(
+                self.model.base_model, quantized, xn, flip_src,
+                self.input_spec.input_size)
+            feats = feats.reshape(self.test_crops, n_stacks, -1).mean(axis=0)
+            return jnp.matmul(feats, kernel,
+                              precision=jax.lax.Precision.HIGHEST) + bias
         if self.device_crops:
             # normalize the N scale-size frames, THEN cut the 10 crops:
             # elementwise normalization commutes exactly with crop/flip, and

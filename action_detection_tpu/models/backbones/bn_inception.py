@@ -52,6 +52,19 @@ def _ceil_pool_padding(size: int, kernel: int, stride: int) -> Tuple[int, int]:
     return (0, pad)
 
 
+def stem_feature_hw(size: int) -> int:
+    """Spatial size of the stem output (the trunk input) for one input dim.
+
+    conv1 7x7 s2 pad3 -> ceil 3x3 s2 max pool -> conv2 (size-preserving)
+    -> ceil 3x3 s2 max pool; overall stride 8 (224 -> 28, 256 -> 32,
+    340 -> 42). Used by the shared-stem scorer path to slice crop windows
+    on the trunk-input grid."""
+    n = (size + 2 * 3 - 7) // 2 + 1
+    n = -(-(n - 3) // 2) + 1
+    n = -(-(n - 3) // 2) + 1
+    return n
+
+
 def _max_pool(x: jnp.ndarray, kernel: int, stride: int, ceil: bool = False,
               pad: int = 0) -> jnp.ndarray:
     if ceil:

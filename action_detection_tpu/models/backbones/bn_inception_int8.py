@@ -279,21 +279,11 @@ def quantize_backbone_e2e(params: dict, batch_stats: dict,
     return qe
 
 
-def bninception_int8_e2e_features(qe: QuantizedParams,
-                                  x: jnp.ndarray) -> jnp.ndarray:
-    """(N, H, W, C) normalized frames -> (N, 1024) features, int8 end-to-end.
+def _e2e_stem_quantized(qe: QuantizedParams, x: jnp.ndarray) -> jnp.ndarray:
+    """Normalized frames -> int8 trunk input, at ANY spatial size.
 
-    Activations stay int8 from the (first) quantization to the final concat;
-    the only float work per conv is the fused s32->int8 epilogue. Dequantize
-    happens once, after global average pooling (49-way averaging also averages
-    the final requant rounding error down).
-
-    With a hybrid-stem ``qe`` (the default from :func:`quantize_backbone_e2e`)
-    the stem runs in bf16 on the folded weights and the single quantization
-    point is the stem output."""
-    def conv(xx, name, stride=1, pad=0):
-        return _conv_i8_e2e(xx, qe[name], stride=stride, pad=pad)
-
+    Hybrid qe: bf16 folded stem, one quantization at the stem output.
+    All-int8 qe: input quantization + int8 stem convs."""
     if "__stem__" in qe:
         def sconv(hh, name, stride=1, pad=0):
             f = qe["__stem__"][name]
@@ -307,17 +297,22 @@ def bninception_int8_e2e_features(qe: QuantizedParams,
         h = sconv(h, "conv2_3x3_reduce")
         h = sconv(h, "conv2_3x3", pad=1)
         h = _max_pool(h, 3, 2, ceil=True)
-        h = jnp.clip(jnp.round(h.astype(jnp.float32) / qe["__stem_scale__"]),
-                     0, 127).astype(jnp.int8)
-    else:
-        sin = qe["__input_scale__"]
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sin), -127, 127) \
-            .astype(jnp.int8)
-        h = conv(xq, "conv1_7x7_s2", stride=2, pad=3)
-        h = _max_pool_i8(h, 3, 2, ceil=True)
-        h = conv(h, "conv2_3x3_reduce")
-        h = conv(h, "conv2_3x3", pad=1)
-        h = _max_pool_i8(h, 3, 2, ceil=True)
+        return jnp.clip(jnp.round(h.astype(jnp.float32) / qe["__stem_scale__"]),
+                        0, 127).astype(jnp.int8)
+    sin = qe["__input_scale__"]
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sin), -127, 127) \
+        .astype(jnp.int8)
+    h = _conv_i8_e2e(xq, qe["conv1_7x7_s2"], stride=2, pad=3)
+    h = _max_pool_i8(h, 3, 2, ceil=True)
+    h = _conv_i8_e2e(h, qe["conv2_3x3_reduce"])
+    h = _conv_i8_e2e(h, qe["conv2_3x3"], pad=1)
+    return _max_pool_i8(h, 3, 2, ceil=True)
+
+
+def _e2e_trunk(qe: QuantizedParams, h: jnp.ndarray) -> jnp.ndarray:
+    """int8 trunk input (N, h, w, 192) -> (N, 1024) f32 features."""
+    def conv(xx, name, stride=1, pad=0):
+        return _conv_i8_e2e(xx, qe[name], stride=stride, pad=pad)
 
     for (name, c1, _c3r, _c3, _d3r, _d31, _d32, _proj, pool, stride) in _INCEPTION_CFG:
         branches = []
@@ -339,6 +334,79 @@ def bninception_int8_e2e_features(qe: QuantizedParams,
         h = jnp.concatenate(branches, axis=-1)
 
     return jnp.mean(h.astype(jnp.float32), axis=(1, 2)) * qe["__feat_scale__"]
+
+
+def bninception_int8_e2e_features(qe: QuantizedParams,
+                                  x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) normalized frames -> (N, 1024) features, int8 end-to-end.
+
+    Activations stay int8 from the (first) quantization to the final concat;
+    the only float work per conv is the fused s32->int8 epilogue. Dequantize
+    happens once, after global average pooling (49-way averaging also averages
+    the final requant rounding error down).
+
+    With a hybrid-stem ``qe`` (the default from :func:`quantize_backbone_e2e`)
+    the stem runs in bf16 on the folded weights and the single quantization
+    point is the stem output."""
+    return _e2e_trunk(qe, _e2e_stem_quantized(qe, x))
+
+
+def bninception_int8_e2e_features_sharedstem(
+        qe: QuantizedParams, xn: jnp.ndarray, flip_src: jnp.ndarray,
+        crop_size: int) -> jnp.ndarray:
+    """Shared-stem 10-crop features: the stem runs once per FRAME (+ once per
+    flipped frame) instead of once per crop, and the 10 crop windows are
+    sliced from the stride-8 trunk-input feature grid.
+
+    The 10 test crops of one frame overlap heavily (10x224^2 crop pixels vs
+    ~2x256x340 frame pixels = 2.9x), so sharing the stem removes ~2/3 of the
+    stem's conv work. Approximate by construction — like int8 itself, and
+    bounded the same way (tests/test_sharedstem.py, end-to-end mAP delta):
+
+    * crop offsets snap to the stride-8 grid (<=4px shift on THUMOS's
+      340x256 -> 224 geometry; exact when offsets are multiples of 8);
+    * window cells near a crop border see real neighboring pixels instead of
+      the per-crop zero padding (the snapped interior cells are otherwise
+      bit-identical: conv/pool windows align when offsets are 8-aligned).
+
+    Flipped crops are sliced from a flipped-FRAME stem pass — ceil-mode
+    pooling pads only right/bottom, so flipping stem outputs is NOT
+    equivalent; Flow's plane inversion rides in ``flip_src`` exactly as in
+    ``device_oversample_normed``.
+
+    Args:
+      qe: e2e-quantized params (hybrid or all-int8).
+      xn: (N, H, W, C) NORMALIZED scale-size frames.
+      flip_src: normalized frames to flip for the flipped crops (== xn except
+        Flow, where flow-x planes are inverted).
+      crop_size: square crop side in pixels.
+
+    Returns (10*N, 1024) f32 features, crop-major (the scorer's crop-mean
+    reduces over the leading axis; order across crops is irrelevant).
+    """
+    from ...data.transforms import fill_fix_offset
+    from .bn_inception import stem_feature_hw
+
+    N, H, W, _ = xn.shape
+    fh, fw = stem_feature_hw(H), stem_feature_hw(W)
+    fc = stem_feature_hw(crop_size)
+
+    def snap(o: int, lim: int) -> int:
+        return min(max(int(o / 8 + 0.5), 0), lim)
+
+    stem = _e2e_stem_quantized(qe, jnp.concatenate(
+        [xn, jnp.flip(flip_src, axis=2)], axis=0))
+    sn, sf = stem[:N], stem[N:]
+    windows = []
+    for o_w, o_h in fill_fix_offset(False, W, H, crop_size, crop_size):
+        fx, fy = snap(o_w, fw - fc), snap(o_h, fh - fc)
+        windows.append(sn[:, fy:fy + fc, fx:fx + fc, :])
+        # flip(crop(x, o)) == crop(flip(x), W - crop - o): slice the flipped
+        # frame's stem at the mirrored (then snapped) offset
+        mx = snap(W - crop_size - o_w, fw - fc)
+        windows.append(sf[:, fy:fy + fc, mx:mx + fc, :])
+    h = jnp.stack(windows, axis=0).reshape((10 * N, fc, fc, stem.shape[-1]))
+    return _e2e_trunk(qe, h)
 
 
 def _e2e_output_maxes(q: QuantizedParams, x: jnp.ndarray,

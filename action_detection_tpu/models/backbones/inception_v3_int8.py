@@ -348,15 +348,69 @@ def calibrate_e2e_iv3(params: dict, batch_stats: dict,
     return qe
 
 
-def inception_v3_int8_e2e_features(qe: QuantizedParams,
-                                   x: jnp.ndarray) -> jnp.ndarray:
-    """(N, H, W, C) normalized frames -> (N, 2048) features, int8 end-to-end."""
+def _iv3_stem_quantized(qe: QuantizedParams, x: jnp.ndarray) -> jnp.ndarray:
+    """Normalized frames -> int8 trunk input (35x35@299), any spatial size."""
     if "__stem__" in qe:
         h = _walk_stem(_StemBf16Ops(qe["__stem__"]), x.astype(jnp.bfloat16))
-        xq = jnp.clip(jnp.round(h.astype(jnp.float32) / qe["__stem_scale__"]),
-                      0, 127).astype(jnp.int8)
-        return _walk_trunk(_ForwardOps(qe), xq)
+        return jnp.clip(jnp.round(h.astype(jnp.float32) / qe["__stem_scale__"]),
+                        0, 127).astype(jnp.int8)
     sin = qe["__input_scale__"]
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sin), -127, 127) \
         .astype(jnp.int8)
-    return _walk(_ForwardOps(qe), xq)
+    return _walk_stem(_ForwardOps(qe), xq)
+
+
+def inception_v3_int8_e2e_features(qe: QuantizedParams,
+                                   x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) normalized frames -> (N, 2048) features, int8 end-to-end."""
+    return _walk_trunk(_ForwardOps(qe), _iv3_stem_quantized(qe, x))
+
+
+def iv3_stem_feature_hw(size: int) -> int:
+    """Trunk-input spatial size of the IV3 stem for one input dim.
+
+    Conv2d_1a 3x3 s2 VALID -> 2a 3x3 VALID -> 2b SAME -> pool 3x3 s2 VALID
+    -> 3b/4a (1x1, 3x3 VALID) -> pool 3x3 s2 VALID; overall stride 8
+    (299 -> 35)."""
+    n = (size - 3) // 2 + 1
+    n = n - 2
+    n = (n - 3) // 2 + 1
+    n = n - 2
+    n = (n - 3) // 2 + 1
+    return n
+
+
+def inception_v3_int8_e2e_features_sharedstem(
+        qe: QuantizedParams, xn: jnp.ndarray, flip_src: jnp.ndarray,
+        crop_size: int) -> jnp.ndarray:
+    """Shared-stem 10-crop IV3 features: stem once per frame+flip, crop
+    windows sliced on the stride-8 trunk-input grid.
+
+    Same contract as the BNInception version
+    (bn_inception_int8.bninception_int8_e2e_features_sharedstem). IV3's
+    VALID conv/pool semantics make this nearly exact: 8-aligned interior
+    windows are bit-identical except the border ring of the one SAME conv
+    (Conv2d_2b); only the offset snap (<=4px) approximates beyond that.
+
+    Returns (10*N, 2048) f32 features, crop-major.
+    """
+    from ...data.transforms import fill_fix_offset
+
+    N, H, W, _ = xn.shape
+    fh, fw = iv3_stem_feature_hw(H), iv3_stem_feature_hw(W)
+    fc = iv3_stem_feature_hw(crop_size)
+
+    def snap(o: int, lim: int) -> int:
+        return min(max(int(o / 8 + 0.5), 0), lim)
+
+    stem = _iv3_stem_quantized(qe, jnp.concatenate(
+        [xn, jnp.flip(flip_src, axis=2)], axis=0))
+    sn, sf = stem[:N], stem[N:]
+    windows = []
+    for o_w, o_h in fill_fix_offset(False, W, H, crop_size, crop_size):
+        fx, fy = snap(o_w, fw - fc), snap(o_h, fh - fc)
+        windows.append(sn[:, fy:fy + fc, fx:fx + fc, :])
+        mx = snap(W - crop_size - o_w, fw - fc)
+        windows.append(sf[:, fy:fy + fc, mx:mx + fc, :])
+    h = jnp.stack(windows, axis=0).reshape((10 * N, fc, fc, stem.shape[-1]))
+    return _walk_trunk(_ForwardOps(qe), h)

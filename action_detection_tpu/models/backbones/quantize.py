@@ -53,3 +53,29 @@ def int8_e2e_features(arch: str, qe: Dict[str, Any], x):
 
         return inception_v3_int8_e2e_features(qe, x)
     raise ValueError(int8_support_error(arch))
+
+
+def supports_shared_stem(arch: str) -> bool:
+    """Shared-stem 10-crop scoring (stem per frame+flip, windows sliced on
+    the stride-8 trunk-input grid) is wired for both int8-e2e backbones."""
+    return arch in ("BNInception", "InceptionV3")
+
+
+def int8_e2e_features_sharedstem(arch: str, qe: Dict[str, Any], xn, flip_src,
+                                 crop_size: int):
+    """Normalized FRAMES (+ flip source) -> (10*N, F) 10-crop features with
+    the stem shared per frame instead of per crop. See
+    bn_inception_int8.bninception_int8_e2e_features_sharedstem."""
+    if arch == "BNInception":
+        from .bn_inception_int8 import (
+            bninception_int8_e2e_features_sharedstem)
+
+        return bninception_int8_e2e_features_sharedstem(qe, xn, flip_src,
+                                                        crop_size)
+    if arch == "InceptionV3":
+        from .inception_v3_int8 import (
+            inception_v3_int8_e2e_features_sharedstem)
+
+        return inception_v3_int8_e2e_features_sharedstem(qe, xn, flip_src,
+                                                         crop_size)
+    raise ValueError(f"shared-stem is not available for backbone {arch!r}")

@@ -252,82 +252,71 @@ def test_int8_scorer_end_to_end(backbone_setup):
         assert np.isfinite(out.act_scores).all()
 
 
-def test_int8_end_to_end_detection_bound():
-    """Int8's DETECTION-metric error bound (VERDICT r2 item 3).
-
-    A REAL detector is constructed without training: frames carry a
-    class-coded color, the activity head is the exact interpolator of the
-    class-mean backbone features (lstsq), and the completeness head is
-    2*course - start - end over the STPP parts (complete proposals have
-    colored course + gray flanks; incomplete ones are colored throughout).
-    f32 mAP is 0.89 on the fixture — a detector with realistic score
-    separation, which is the regime where an int8-vs-f32 mAP delta is
-    meaningful (with near-tied random scores the delta only measures tie
-    shuffling; measured and rejected).
-
-    Both arms run the full CLI stack (ProposalScorer -> detections -> NMS ->
-    regression -> mAP, multi-video-style calibration frames): the combined
-    score delta is bounded and the mAP delta must be < 0.5 mAP point.
-    """
-    import os
-    import tempfile
-    import zlib
-
-    from PIL import Image
-
-    from action_detection_tpu.config import SamplingConfig
-    from action_detection_tpu.data.ssn_dataset import SSNDataset
-    from action_detection_tpu.data.transforms import preprocess_frames
-    from action_detection_tpu.evaluation import (apply_classwise_nms,
-                                                 apply_regression,
-                                                 evaluate_detections,
-                                                 generate_detections)
-    from action_detection_tpu.infer.scorer import ProposalScorer
-    from action_detection_tpu.models import SSN
-    from action_detection_tpu.ops.metrics import softmax
-
-    K = 3
-    PAL = {0: (110, 110, 110), 1: (200, 60, 60), 2: (60, 200, 60),
+DET_K = 3
+DET_PAL = {0: (110, 110, 110), 1: (200, 60, 60), 2: (60, 200, 60),
            3: (60, 60, 200)}
 
-    class Provider:
-        modality = "RGB"
 
-        def __init__(self, gt):
-            self.gt = gt
+class ColorCodedProvider:
+    """Frames carry a class-coded color inside GT segments (+- noise)."""
 
-        def load(self, vid, idx):
-            lab = 0
-            for l, a, b in self.gt[vid]:
-                if a <= idx <= b:
-                    lab = l
-                    break
-            r = np.random.RandomState(zlib.crc32(f"{vid}/{int(idx)}".encode()))
-            arr = np.clip(np.asarray(PAL[lab], np.int16)
-                          + r.randint(-12, 13, size=(72, 80, 3)), 0, 255)
-            return [Image.fromarray(arr.astype(np.uint8), "RGB")]
+    modality = "RGB"
 
-    def write_fixture(path, n_videos=3, frames=600):
-        gt_by, lines = {}, []
-        for v in range(n_videos):
-            vid = f"video_{v}"
-            gt = [(1 + v % K, 100, 300), (1 + (v + 1) % K, 400, 520)]
-            gt_by[vid] = gt
-            props = []
-            for g in gt:
-                props.append((g[0], 0.85, 0.9, g[1] - 20, g[2] + 5))
-                props.append((g[0], 0.75, 0.95, g[1] + 5, g[2] - 15))
-                props.append((g[0], 0.2, 0.9, g[1] + 30, g[1] + 110))
-            props += [(0, 0.0, 0.0, 530, 595), (0, 0.005, 0.0, 10, 90)]
-            lines.append(f"# {v}\n{vid}\n{frames}\n1\n{len(gt)}\n")
-            lines += [f"{g[0]} {g[1]} {g[2]}\n" for g in gt]
-            lines.append(f"{len(props)}\n")
-            lines += [f"{p[0]} {p[1]:.4f} {p[2]:.4f} {p[3]} {p[4]}\n"
-                      for p in props]
-        with open(path, "w") as f:
-            f.writelines(lines)
-        return path, gt_by
+    def __init__(self, gt, height=72, width=80):
+        self.gt = gt
+        self.height, self.width = height, width
 
+    def load(self, vid, idx):
+        import zlib
+
+        from PIL import Image
+
+        lab = 0
+        for l, a, b in self.gt[vid]:
+            if a <= idx <= b:
+                lab = l
+                break
+        r = np.random.RandomState(zlib.crc32(f"{vid}/{int(idx)}".encode()))
+        arr = np.clip(np.asarray(DET_PAL[lab], np.int16)
+                      + r.randint(-12, 13,
+                                  size=(self.height, self.width, 3)), 0, 255)
+        return [Image.fromarray(arr.astype(np.uint8), "RGB")]
+
+
+def write_detection_fixture(path, n_videos=3, frames=600):
+    """Proposal list with GT + fg/incomplete/bg proposals per video."""
+    K = DET_K
+    gt_by, lines = {}, []
+    for v in range(n_videos):
+        vid = f"video_{v}"
+        gt = [(1 + v % K, 100, 300), (1 + (v + 1) % K, 400, 520)]
+        gt_by[vid] = gt
+        props = []
+        for g in gt:
+            props.append((g[0], 0.85, 0.9, g[1] - 20, g[2] + 5))
+            props.append((g[0], 0.75, 0.95, g[1] + 5, g[2] - 15))
+            props.append((g[0], 0.2, 0.9, g[1] + 30, g[1] + 110))
+        props += [(0, 0.0, 0.0, 530, 595), (0, 0.005, 0.0, 10, 90)]
+        lines.append(f"# {v}\n{vid}\n{frames}\n1\n{len(gt)}\n")
+        lines += [f"{g[0]} {g[1]} {g[2]}\n" for g in gt]
+        lines.append(f"{len(props)}\n")
+        lines += [f"{p[0]} {p[1]:.4f} {p[2]:.4f} {p[3]} {p[4]}\n"
+                  for p in props]
+    with open(path, "w") as f:
+        f.writelines(lines)
+    return path, gt_by
+
+
+def build_color_detector():
+    """A REAL detector without training: the activity head is the exact
+    interpolator of the class-mean backbone features (lstsq) and the
+    completeness head is 2*course - start - end over the STPP parts.
+    Returns (model, params, batch_stats, small_spec, reg_stats) — f32 mAP is
+    ~0.89 on the write_detection_fixture videos."""
+    from action_detection_tpu.data.transforms import preprocess_frames
+    from action_detection_tpu.models import SSN
+
+    K = DET_K
     model = SSN(num_class=K, base_model="BNInception", dropout=0.0)
     hv = model.init({"params": jax.random.PRNGKey(1)},
                     jnp.zeros((1, 9, 64, 64, 3)), jnp.ones((1, 2)),
@@ -343,7 +332,7 @@ def test_int8_end_to_end_detection_bound():
     # class-mean features -> exact-interpolation activity head
     mu = []
     for lab in range(K + 1):
-        imgs = [np.clip(np.asarray(PAL[lab], np.int16)
+        imgs = [np.clip(np.asarray(DET_PAL[lab], np.int16)
                         + np.random.RandomState(lab * 100 + i)
                         .randint(-12, 13, size=(64, 64, 3)), 0, 255)
                 .astype(np.uint8) for i in range(4)]
@@ -366,19 +355,53 @@ def test_int8_end_to_end_detection_bound():
     params["regressor_fc"] = {"kernel": jnp.zeros((3 * 1024, 2 * K)),
                               "bias": jnp.zeros(2 * K)}
     reg_stats = np.array([[0.0, 0.0], [0.05, 0.05]], np.float32)
+    return model, params, batch_stats, small, reg_stats
+
+
+def detection_calibration_frames(size=64, per_class=3, seed=9):
+    """Calibration frames spanning every class's activation range
+    (multi-video calibration; one-color calibration under-covers)."""
+    r = np.random.RandomState(seed)
+    return np.stack([
+        np.clip(np.asarray(DET_PAL[lab], np.int16)
+                + r.randint(-12, 13, size=(size, size, 3)), 0, 255)
+        .astype(np.uint8)
+        for lab in range(DET_K + 1) for _ in range(per_class)])
+
+
+def test_int8_end_to_end_detection_bound():
+    """Int8's DETECTION-metric error bound (VERDICT r2 item 3).
+
+    The fixture detector (build_color_detector) has realistic score
+    separation — the regime where an int8-vs-f32 mAP delta is meaningful
+    (with near-tied random scores the delta only measures tie shuffling;
+    measured and rejected).
+
+    All arms run the full CLI stack (ProposalScorer -> detections -> NMS ->
+    regression -> mAP, multi-video-style calibration frames): the combined
+    score delta is bounded and the mAP delta must be < 0.5 mAP point.
+    """
+    import os
+    import tempfile
+
+    from action_detection_tpu.config import SamplingConfig
+    from action_detection_tpu.data.ssn_dataset import SSNDataset
+    from action_detection_tpu.evaluation import (apply_classwise_nms,
+                                                 apply_regression,
+                                                 evaluate_detections,
+                                                 generate_detections)
+    from action_detection_tpu.infer.scorer import ProposalScorer
+    from action_detection_tpu.ops.metrics import softmax
+
+    K = DET_K
+    model, params, batch_stats, small, reg_stats = build_color_detector()
+    base = get_backbone("BNInception", "RGB")[2]
 
     with tempfile.TemporaryDirectory() as d:
-        pf, gt_by = write_fixture(os.path.join(d, "p.txt"))
+        pf, gt_by = write_detection_fixture(os.path.join(d, "p.txt"))
         ds = SSNDataset(pf, SamplingConfig(), test_interval=40)
-        provider = Provider(gt_by)
-        # calibration frames spanning every class's activation range
-        # (multi-video calibration; one-color calibration under-covers)
-        r = np.random.RandomState(9)
-        calib = np.stack([
-            np.clip(np.asarray(PAL[lab], np.int16)
-                    + r.randint(-12, 13, size=(64, 64, 3)), 0, 255)
-            .astype(np.uint8)
-            for lab in range(K + 1) for _ in range(3)])
+        provider = ColorCodedProvider(gt_by)
+        calib = detection_calibration_frames()
 
         results = {}
         for tag, q, c in (("f32", False, None),
