@@ -38,9 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--synthetic_data", action="store_true")
     parser.add_argument("--int8", action="store_true", default=None,
                         help="int8-quantize the backbone. DEFAULT ON for "
-                             "BNInception (int8-e2e, same accuracy bounds as "
-                             "ssn_test — tests/test_int8.py); --no_int8 opts "
-                             "out")
+                             "BNInception and InceptionV3 (int8-e2e, same "
+                             "accuracy bounds as ssn_test — "
+                             "tests/test_int8.py); --no_int8 opts out")
     parser.add_argument("--no_int8", dest="int8", action="store_false",
                         help="force the bf16/f32 backbone")
     parser.add_argument("--int8_mode", choices=["e2e", "perlayer"],
@@ -163,32 +163,28 @@ def main(argv=None):
         raise SystemExit(int8_support_error(args.arch, args.int8_mode))
     quantized = act_scales = None
     if use_int8:
+        from ..data.pipeline import collect_calibration_frames
         from ..models.backbones.bn_inception_int8 import (
             calibrate_activation_scales, quantize_backbone)
 
-        # calibration frames spread across several videos (one-video max-abs
-        # calibration under-covers the activation range of the rest)
-        n_vids = len(dataset.video_list)
-        calib_idx = sorted(set(np.linspace(0, n_vids - 1,
-                                           min(8, n_vids)).astype(int)))
-        chunks = []
-        for i in calib_idx:
-            s0 = dataset.get_test_sample(i)
-            if len(s0.frame_ticks) == 0:
-                continue
-            chunks.append(next(iter_test_frame_batches(
-                provider, s0.video_id, s0.frame_ticks, s0.num_frames,
-                transform, new_length=new_length, batch_ticks=1)))
-        sample = preprocess_frames(jnp.asarray(np.concatenate(chunks, axis=0)),
-                                   spec, args.modality, new_length)
-        bb_params = ck["params"]["backbone"]
-        bb_stats = (ck["batch_stats"] or {}).get("backbone", {})
-        if args.int8_mode == "e2e":
-            quantized = calibrate_e2e_backbone(args.arch, bb_params, bb_stats,
-                                               sample)
+        calib = collect_calibration_frames(dataset, provider, transform,
+                                           new_length=new_length)
+        if calib is None:
+            # every video has zero ticks -> nothing will be scored; keep the
+            # bf16 path (score_chunk_impl branches on quantized is None)
+            print("int8: no calibration frames (all videos empty); "
+                  "falling back to bf16", flush=True)
         else:
-            quantized = quantize_backbone(bb_params, bb_stats)
-            act_scales = calibrate_activation_scales(quantized, sample)
+            sample = preprocess_frames(jnp.asarray(calib), spec,
+                                       args.modality, new_length)
+            bb_params = ck["params"]["backbone"]
+            bb_stats = (ck["batch_stats"] or {}).get("backbone", {})
+            if args.int8_mode == "e2e":
+                quantized = calibrate_e2e_backbone(args.arch, bb_params,
+                                                   bb_stats, sample)
+            else:
+                quantized = quantize_backbone(bb_params, bb_stats)
+                act_scales = calibrate_activation_scales(quantized, sample)
 
     # weights ride as jit arguments, not closure captures: embedded-constant
     # executables degrade every later host->device transfer (see

@@ -31,8 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--int8", action="store_true", default=None,
                         help="int8-quantize the backbone, activation scales "
                              "calibrated across test videos. DEFAULT ON for "
-                             "BNInception (detection-metric delta bounded in "
-                             "tests/test_int8.py); --no_int8 opts out")
+                             "BNInception and InceptionV3 (detection-metric "
+                             "delta bounded in tests/test_int8.py); "
+                             "--no_int8 opts out")
     parser.add_argument("--no_int8", dest="int8", action="store_false",
                         help="force the bf16/f32 backbone")
     parser.add_argument("--int8_mode", choices=["e2e", "perlayer"],
@@ -168,29 +169,30 @@ def main(argv=None):
 
     calibration_frames = None
     if use_int8:
-        # calibrate activation scales on frames spread across several test
-        # videos (max-abs calibration from one video under-covers the
-        # activation range of the rest)
-        import numpy as np
-
-        from ..data.pipeline import iter_test_frame_batches, make_test_transform
+        from ..data.pipeline import (collect_calibration_frames,
+                                     make_test_transform)
 
         transform = make_test_transform(spec.input_size, spec.scale_size,
                                         args.test_crops)
-        n_vids = len(dataset.video_list)
-        calib_idx = sorted(set(np.linspace(0, n_vids - 1,
-                                           min(8, n_vids)).astype(int)))
-        chunks = []
-        for i in calib_idx:
-            s = dataset.get_test_sample(i)
-            if len(s.frame_ticks) == 0:
-                continue
-            chunks.append(next(iter_test_frame_batches(
-                provider, s.video_id, s.frame_ticks, s.num_frames, transform,
-                new_length=model.resolved_new_length, batch_ticks=1)))
-        calibration_frames = np.concatenate(chunks, axis=0)
+        # None (every sampled video empty) falls back to the scorer's lazy
+        # first-chunk calibration — and if nothing has ticks, nothing is
+        # scored either
+        calibration_frames = collect_calibration_frames(
+            dataset, provider, transform,
+            new_length=model.resolved_new_length)
 
-    def scorer_factory(device):
+    # calibration + weight quantization runs ONCE; the other devices' scorers
+    # reuse the quantized tree (byte-identical inputs -> byte-identical
+    # output, and on the remote-compile environment each extra calibration
+    # pays a model-sized compile + first-execution). score_videos calls the
+    # factory from one worker thread per device, so the first-calibrator
+    # election takes a lock.
+    import threading
+
+    shared_quantized = {}
+    quant_lock = threading.Lock()
+
+    def make_scorer(device, prequantized):
         return ProposalScorer(model, params, batch_stats, spec,
                               reg_stats=reg_stats, num_class=cfg.num_class,
                               stpp_cfg=cfg.stpp, test_crops=args.test_crops,
@@ -201,7 +203,19 @@ def main(argv=None):
                               quantize=args.int8_mode if use_int8 else False,
                               calibration_frames=calibration_frames,
                               decode_threads=args.workers,
-                              shared_stem=use_shared)
+                              shared_stem=use_shared,
+                              prequantized=prequantized)
+
+    def scorer_factory(device):
+        if not use_int8:
+            return make_scorer(device, None)
+        with quant_lock:
+            if "tree" not in shared_quantized:
+                scorer = make_scorer(device, None)
+                shared_quantized["tree"] = scorer.export_quantized()
+                return scorer
+            prequant = shared_quantized["tree"]
+        return make_scorer(device, prequant)
 
     n = len(dataset.video_list)
     if args.max_num > 0:

@@ -229,6 +229,45 @@ def iter_test_frame_batches(provider, video_id: str, frame_ticks: np.ndarray,
         yield seg
 
 
+def collect_calibration_frames(dataset, provider, transform,
+                               new_length: int = 1,
+                               max_videos: int = 8) -> Optional[np.ndarray]:
+    """Frames spread across several test videos for int8 calibration.
+
+    Max-abs calibration from one video under-covers the activation range of
+    the rest, so this takes one tick-batch from up to ``max_videos`` videos
+    spread across the list. Zero-tick videos (``num_frames <= new_length``,
+    e.g. THUMOS shorts under Flow's new_length=5) are skipped and replaced by
+    the next unseen index so sparse empties don't starve calibration; returns
+    None when every video is empty (there is nothing to score then either —
+    callers fall back to lazy or no calibration).
+
+    Shared by ``ssn_test`` and ``binary_test`` so the two CLIs cannot
+    diverge on calibration policy.
+    """
+    n_vids = len(dataset.video_list)
+    if n_vids == 0:
+        return None
+    target = min(max_videos, n_vids)
+    spread = list(dict.fromkeys(
+        np.linspace(0, n_vids - 1, target).astype(int).tolist()))
+    seen = set(spread)
+    order = spread + [i for i in range(n_vids) if i not in seen]
+    chunks: List[np.ndarray] = []
+    for i in order:
+        if len(chunks) == target:
+            break
+        s = dataset.get_test_sample(i)
+        if len(s.frame_ticks) == 0:
+            continue
+        chunks.append(next(iter_test_frame_batches(
+            provider, s.video_id, s.frame_ticks, s.num_frames, transform,
+            new_length=new_length, batch_ticks=1)))
+    if not chunks:
+        return None
+    return np.concatenate(chunks, axis=0)
+
+
 def load_scaled_stack(provider, video_id: str, tick, frame_cnt: int,
                       scale: GroupScale, new_length: int = 1) -> np.ndarray:
     """Decode + rescale one tick to a stacked uint8 ``(H_s, W_s, c_in)`` array.

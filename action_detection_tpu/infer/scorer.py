@@ -77,7 +77,8 @@ class ProposalScorer:
                  calibration_frames: Optional[np.ndarray] = None,
                  device_crops: Optional[bool] = None,
                  decode_threads: Optional[int] = None,
-                 shared_stem: Optional[bool] = None):
+                 shared_stem: Optional[bool] = None,
+                 prequantized=None):
         self.model = model
         self.input_spec = input_spec
         self.test_crops = test_crops
@@ -155,6 +156,8 @@ class ProposalScorer:
         self._quantized = None
         self._act_scales = None
         self._qp = None
+        if prequantized is not None and not self._quantize_mode:
+            raise ValueError("prequantized requires quantize to be set")
         if self._quantize_mode:
             from ..models.backbones.quantize import (calibrate_e2e_backbone,
                                                      int8_support_error,
@@ -166,23 +169,49 @@ class ProposalScorer:
             from ..models.backbones.bn_inception_int8 import (
                 calibrate_activation_scales, quantize_backbone)
 
-            self._qp = (jax.device_get(params["backbone"]),
-                        jax.device_get((batch_stats or {}).get("backbone", {})))
-            sample = None
-            if calibration_frames is not None:
-                sample = jax.jit(self._prep_calibration)(
-                    jnp.asarray(calibration_frames))
-            if self._quantize_mode == "e2e":
-                if sample is not None:
-                    self._quantized = jax.device_put(
-                        calibrate_e2e_backbone(model.base_model, *self._qp,
-                                               sample), self.device)
+            if prequantized is not None:
+                # quantized tree exported by a sibling scorer
+                # (export_quantized): calibration ran once for the whole
+                # device fan-out; device_put re-pins it here
+                q, scales = prequantized
+                self._quantized = jax.device_put(q, self.device)
+                if scales is not None:
+                    self._act_scales = jax.device_put(scales, self.device)
+            elif self._quantize_mode == "e2e":
+                qp = (jax.device_get(params["backbone"]),
+                      jax.device_get((batch_stats or {}).get("backbone", {})))
+                if calibration_frames is not None:
+                    sample = jax.jit(self._prep_calibration)(
+                        jnp.asarray(calibration_frames))
+                    try:
+                        self._quantized = jax.device_put(
+                            calibrate_e2e_backbone(model.base_model, *qp,
+                                                   sample), self.device)
+                    except Exception as e:
+                        # most likely a pool/stride shape inconsistency from
+                        # odd calibration-frame dims — surface the contract
+                        # instead of the backbone's opaque shape error
+                        cs = self.input_spec.input_size
+                        raise ValueError(
+                            "int8 calibration failed on frames of shape "
+                            f"{np.asarray(calibration_frames).shape}; "
+                            f"calibration frames should be crop-shaped "
+                            f"({cs}x{cs}) or scale-size (> crop in both "
+                            f"dims) for this backbone") from e
+                else:
+                    # lazy first-chunk calibration needs the float params;
+                    # _score_chunk drops them once it has calibrated
+                    self._qp = qp
             else:
-                self._quantized = jax.device_put(quantize_backbone(*self._qp),
-                                                 self.device)
-                if sample is not None:
+                quantized = quantize_backbone(
+                    jax.device_get(params["backbone"]),
+                    jax.device_get((batch_stats or {}).get("backbone", {})))
+                self._quantized = jax.device_put(quantized, self.device)
+                if calibration_frames is not None:
+                    sample = jax.jit(self._prep_calibration)(
+                        jnp.asarray(calibration_frames))
                     self._act_scales = jax.device_put(
-                        calibrate_activation_scales(self._quantized, sample),
+                        calibrate_activation_scales(quantized, sample),
                         self.device)
 
         self._score_chunk_jit = jax.jit(self._score_chunk_impl,
@@ -198,6 +227,21 @@ class ProposalScorer:
             lambda scores, idx: jnp.concatenate(
                 [scores, jnp.zeros((1, scores.shape[1]), scores.dtype)],
                 axis=0)[idx])
+
+    def export_quantized(self):
+        """Quantized tree for a sibling scorer's ``prequantized=``.
+
+        Returns ``(quantized, act_scales)`` host trees, or None when
+        quantization hasn't run yet (lazy mode before the first chunk).
+        Calibration is deterministic in its inputs, so sharing the export
+        across devices is byte-identical to recalibrating — and skips a
+        model-sized compile + first execution per extra device.
+        """
+        if self._quantized is None:
+            return None
+        scales = (jax.device_get(self._act_scales)
+                  if self._act_scales is not None else None)
+        return jax.device_get(self._quantized), scales
 
     def close(self) -> None:
         """Shut down the decode thread pool (idempotent)."""
@@ -290,16 +334,26 @@ class ProposalScorer:
         matters for Flow's inverted planes); crop-shaped inputs pass through.
         """
         cs = self.input_spec.input_size
-        if frames.shape[1] < cs or frames.shape[2] < cs or \
-                (frames.shape[1] == cs and frames.shape[2] == cs):
-            # already crop-shaped (or smaller than a crop — treat as crops;
-            # oversampling would compute negative offsets and slice garbage)
-            return preprocess_frames(frames, self.input_spec, self.modality,
-                                     self.model.resolved_new_length)
-        crops = device_oversample_normed(frames, self.input_spec,
-                                         self.modality,
-                                         self.model.resolved_new_length)
-        return crops[: 2 * frames.shape[0]]
+        H, W = frames.shape[1], frames.shape[2]
+        if H >= cs and W >= cs and not (H == cs and W == cs):
+            crops = device_oversample_normed(frames, self.input_spec,
+                                             self.modality,
+                                             self.model.resolved_new_length)
+            return crops[: 2 * frames.shape[0]]
+        # crop-shaped, or at least one dim at/below the crop size
+        # (oversampling needs both dims > cs or its offsets go negative).
+        # Center-crop any OVERSIZED dim so a mixed case like (200, 340)
+        # reaches the backbone as (200, 224) instead of raw scale width —
+        # slicing only dims > cs never reads out of bounds; genuinely tiny
+        # geometries (test backbones) pass through unchanged.
+        if H > cs:
+            o = (H - cs) // 2
+            frames = frames[:, o:o + cs]
+        if W > cs:
+            o = (W - cs) // 2
+            frames = frames[:, :, o:o + cs]
+        return preprocess_frames(frames, self.input_spec, self.modality,
+                                 self.model.resolved_new_length)
 
     def _score_chunk(self, frames_u8, n_stacks: int):
         if self._quantize_mode == "e2e" and self._quantized is None:
@@ -311,6 +365,7 @@ class ProposalScorer:
             self._quantized = jax.device_put(
                 calibrate_e2e_backbone(self.model.base_model, *self._qp,
                                        sample), self.device)
+            self._qp = None    # host float-param copy only feeds calibration
         return self._score_chunk_jit(self._variables, self._kernel, self._bias,
                                      self._quantized, self._act_scales,
                                      frames_u8, n_stacks=n_stacks)

@@ -46,7 +46,10 @@ def main():
     print(f"devices: {jax.devices()}  batch={B} iters={N}", flush=True)
 
     backbone, _, _ = get_backbone("BNInception", "RGB")
-    variables = backbone.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    # jitted init: ONE remote compile instead of hundreds of per-op compiles
+    # (CLAUDE.md environment rules — eager init can degrade the service)
+    variables = jax.jit(backbone.init)(jax.random.PRNGKey(0),
+                                       jnp.zeros((1, 64, 64, 3)))
     params, batch_stats = variables["params"], variables["batch_stats"]
 
     rng = np.random.RandomState(0)

@@ -70,8 +70,11 @@ def main():
                 import calibrate_e2e_iv3
 
             sample = jax.jit(sc._prep_calibration)(jnp.asarray(host_chunk[:4]))
+            qp = (jax.device_get(variables["params"]["backbone"]),
+                  jax.device_get((variables.get("batch_stats") or {})
+                                 .get("backbone", {})))
             sc._quantized = jax.device_put(
-                calibrate_e2e_iv3(*sc._qp, sample, hybrid_stem=False),
+                calibrate_e2e_iv3(*qp, sample, hybrid_stem=False),
                 sc.device)
         print(f"[{tag}] scorer build: {time.time() - t0:.1f}s", flush=True)
         dev = jax.device_put(host_chunk, sc.device)

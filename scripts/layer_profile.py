@@ -88,7 +88,8 @@ def main():
 
     stem = Stem()
     x0 = jnp.asarray(rng.randn(B, 224, 224, 3), jnp.bfloat16)
-    v = stem.init(key, x0)
+    # jitted init: one remote compile per module, not per op (CLAUDE.md)
+    v = jax.jit(stem.init)(key, x0)
     ms = timed(lambda p, x: stem.apply(p, x), v, x0)
     fl = (conv_flops(112, 3, 64, 7) + conv_flops(56, 64, 64, 1)
           + conv_flops(56, 64, 192, 3))
@@ -109,7 +110,7 @@ def main():
                               cd3r=cd3r, cd31=cd31, cd32=cd32, cproj=cproj,
                               pool=pool, stride=stride, dtype=jnp.bfloat16)
         xi = jnp.asarray(rng.randn(B, hw, hw, cin), jnp.bfloat16)
-        vi = mod.init(key, xi)
+        vi = jax.jit(mod.init)(key, xi)
         ms = timed(lambda p, x, m=mod: m.apply(p, x), vi, xi)
         hw_out = hw // stride
         fl = conv_flops(hw, cin, c3r, 1) + conv_flops(hw_out, c3r, c3, 3) \

@@ -140,6 +140,9 @@ def test_ssn_test_int8_collects_multivideo_calibration(workdir, monkeypatch):
             captured["calib"] = kw.get("calibration_frames")
             captured["quantize"] = kw.get("quantize")
 
+        def export_quantized(self):
+            return None    # lazy-mode shape: siblings calibrate themselves
+
         def close(self):
             pass
 

@@ -364,3 +364,46 @@ def test_pipeline_determinism(prop_file):
     # and a different seed actually changes the pixels
     b3 = assemble_train_batch(ds, [0, 1], provider, aug, np.random.RandomState(8))
     assert not np.array_equal(b1["frames"], b3["frames"])
+
+
+class _StubTestSample:
+    def __init__(self, video_id, ticks, num_frames):
+        self.video_id = video_id
+        self.frame_ticks = np.asarray(ticks, np.int64)
+        self.num_frames = num_frames
+
+
+class _StubDataset:
+    """video_list/get_test_sample shim for collect_calibration_frames."""
+
+    def __init__(self, tick_counts):
+        self.video_list = list(range(len(tick_counts)))
+        self._ticks = [np.arange(n, dtype=np.int64) + 1 for n in tick_counts]
+
+    def get_test_sample(self, i):
+        return _StubTestSample(f"v{i}", self._ticks[i], 64)
+
+
+def test_collect_calibration_frames_skips_empty_and_backfills():
+    """Zero-tick videos are replaced by later non-empty ones, not dropped."""
+    from action_detection_tpu.data.pipeline import (
+        collect_calibration_frames, make_test_transform)
+
+    provider = SyntheticFrameProvider(width=48, height=40)
+    transform = make_test_transform(32, 36, 1)
+    # 10 videos; the linspace spread over 8 would hit indices 0..9 minus two,
+    # and 6 of the first 8 candidates are empty -> backfill must kick in
+    ds = _StubDataset([0, 0, 3, 0, 0, 2, 0, 0, 1, 4])
+    out = collect_calibration_frames(ds, provider, transform, new_length=1)
+    assert out is not None
+    # 4 non-empty videos exist, each contributes its batch_ticks=1 first tick
+    assert out.shape[0] == 4 and out.dtype == np.uint8
+
+    # every video empty -> None (callers fall back to lazy/no calibration)
+    assert collect_calibration_frames(
+        _StubDataset([0, 0, 0]), provider, transform, new_length=1) is None
+
+    # plenty of non-empty videos: still capped at max_videos
+    many = _StubDataset([2] * 20)
+    out = collect_calibration_frames(many, provider, transform, new_length=1)
+    assert out.shape[0] == 8

@@ -533,3 +533,54 @@ def test_quantization_report_on_torch_twin_weights():
     assert rep_e2e["feature_rel_rms"] < 0.08, rep_e2e
     for head in ("act", "comp", "reg"):
         assert rep_e2e[f"{head}_rel_rms"] < 0.12, rep_e2e
+
+
+def test_prequantized_scorer_matches_calibrating_scorer(backbone_setup):
+    """export_quantized -> prequantized= skips calibration, same scores.
+
+    score_videos builds one scorer per device; the first one calibrates and
+    the rest reuse its tree (cli/ssn_test.py scorer_factory), so the reuse
+    path must be byte-identical to calibrating again.
+    """
+    from action_detection_tpu.infer.scorer import ProposalScorer
+    from action_detection_tpu.models import SSN
+
+    model = SSN(num_class=3, base_model="BNInception", dropout=0.0)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 9, 64, 64, 3)), jnp.ones((1, 2)),
+                           train=False)
+    rng = np.random.RandomState(0)
+    calib = rng.randint(0, 256, size=(4, 64, 64, 3), dtype=np.uint8)
+    _, _, spec = get_backbone("BNInception", "RGB")
+
+    def make(calibration, prequantized):
+        s = ProposalScorer(model, variables["params"],
+                           variables.get("batch_stats"), spec,
+                           reg_stats=np.array([[0.0, 0.0], [1.0, 1.0]]),
+                           test_crops=1, chunk_frames=4, quantize=True,
+                           calibration_frames=calibration,
+                           prequantized=prequantized)
+        s.input_spec = spec.__class__(64, spec.mean, spec.std, spec.bgr,
+                                      spec.div255)
+        return s
+
+    a = make(calib, None)
+    export = a.export_quantized()
+    assert export is not None
+    b = make(None, export)
+    # the reuse path must not keep a host float-param copy alive either
+    assert a._qp is None and b._qp is None
+
+    chunk = rng.randint(0, 256, size=(4, 64, 64, 3), dtype=np.uint8)
+    sa = np.asarray(a._score_chunk(jnp.asarray(chunk), n_stacks=4))
+    sb = np.asarray(b._score_chunk(jnp.asarray(chunk), n_stacks=4))
+    np.testing.assert_array_equal(sa, sb)
+
+    # prequantized without a quantize mode is a caller bug, not a silent noop
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="prequantized"):
+        ProposalScorer(model, variables["params"],
+                       variables.get("batch_stats"), spec,
+                       reg_stats=np.array([[0.0, 0.0], [1.0, 1.0]]),
+                       test_crops=1, chunk_frames=4, quantize=False,
+                       prequantized=export)
