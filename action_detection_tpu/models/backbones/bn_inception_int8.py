@@ -98,6 +98,86 @@ def _conv_int8(x: jnp.ndarray, layer: dict, stride: int = 1, pad: int = 0,
     return out.astype(jnp.bfloat16)
 
 
+# ---------------------------------------------------------------------------
+# Single topology walk, interpreted through an ops interface.
+#
+# The per-layer runtime, the e2e runtime, both calibration passes and the
+# host scale algebra all traverse the SAME stem + _INCEPTION_CFG graph; one
+# walker over a small ops interface makes the faces structurally incapable
+# of diverging (same pattern as inception_v3_int8._walk) — branch order and
+# pool choices are written exactly once.
+# ---------------------------------------------------------------------------
+
+
+def _walk_stem(ops, x):
+    x = ops.conv(x, "conv1_7x7_s2", stride=2, pad=3)
+    x = ops.max_pool(x, 3, 2, ceil=True)
+    x = ops.conv(x, "conv2_3x3_reduce")
+    x = ops.conv(x, "conv2_3x3", pad=1)
+    return ops.max_pool(x, 3, 2, ceil=True)
+
+
+def _walk_trunk(ops, x):
+    for (name, c1, _c3r, _c3, _d3r, _d31, _d32, _proj, pool, stride) \
+            in _INCEPTION_CFG:
+        branches = []
+        if c1 is not None:
+            branches.append(ops.conv(x, f"{name}_1x1"))
+        b3 = ops.conv(x, f"{name}_3x3_reduce")
+        b3 = ops.conv(b3, f"{name}_3x3", stride=stride, pad=1)
+        branches.append(b3)
+        bd = ops.conv(x, f"{name}_double_3x3_reduce")
+        bd = ops.conv(bd, f"{name}_double_3x3_1", pad=1)
+        bd = ops.conv(bd, f"{name}_double_3x3_2", stride=stride, pad=1)
+        branches.append(bd)
+        if stride == 1:
+            bp = (ops.avg_pool(x, 3, 1, 1) if pool == "avg"
+                  else ops.max_pool(x, 3, 1, pad=1))
+            branches.append(ops.conv(bp, f"{name}_pool_proj"))
+        else:
+            # stride-2 modules: passthrough ceil-mode max pool branch
+            branches.append(ops.max_pool(x, 3, 2, ceil=True))
+        x = ops.concat(branches)
+    return x
+
+
+class _PerLayerOps:
+    """bf16 activations, per-layer int8 convs.
+
+    Runtime face (optionally with static ``act_scales``) and both traced
+    calibration faces: ``input_maxes``/``output_maxes`` dicts, when given,
+    record each conv's input |max| (per-layer static-scale calibration) /
+    post-ReLU output max (e2e scale calibration).
+    """
+
+    def __init__(self, q: QuantizedParams, act_scales: Dict[str, Any] = None,
+                 input_maxes: Dict[str, jnp.ndarray] = None,
+                 output_maxes: Dict[str, jnp.ndarray] = None):
+        self.q = q
+        self.s = act_scales or {}
+        self.input_maxes = input_maxes
+        self.output_maxes = output_maxes
+
+    def conv(self, x, name, stride=1, pad=0):
+        if self.input_maxes is not None:
+            self.input_maxes[name] = jnp.max(jnp.abs(x)).astype(jnp.float32)
+        out = _conv_int8(x, self.q[name], stride=stride, pad=pad,
+                         sx=self.s.get(name))
+        if self.output_maxes is not None:
+            # post-ReLU, so max == |max|
+            self.output_maxes[name] = jnp.max(out).astype(jnp.float32)
+        return out
+
+    def max_pool(self, x, kernel, stride, ceil=False, pad=0):
+        return _max_pool(x, kernel, stride, ceil=ceil, pad=pad)
+
+    def avg_pool(self, x, kernel, stride, pad):
+        return _avg_pool_include_pad(x, kernel, stride, pad)
+
+    def concat(self, parts):
+        return jnp.concatenate(parts, axis=-1)
+
+
 def bninception_int8_features(q: QuantizedParams, x: jnp.ndarray,
                               act_scales: Dict[str, Any] = None) -> jnp.ndarray:
     """(N, H, W, C) normalized frames -> (N, 1024) features, int8 convs.
@@ -105,37 +185,8 @@ def bninception_int8_features(q: QuantizedParams, x: jnp.ndarray,
     ``act_scales``: optional per-layer static activation scales from
     :func:`calibrate_activation_scales`.
     """
-    s = act_scales or {}
-
-    def conv(x, name, stride=1, pad=0):
-        return _conv_int8(x, q[name], stride=stride, pad=pad, sx=s.get(name))
-
-    x = x.astype(jnp.bfloat16)
-    x = conv(x, "conv1_7x7_s2", stride=2, pad=3)
-    x = _max_pool(x, 3, 2, ceil=True)
-    x = conv(x, "conv2_3x3_reduce")
-    x = conv(x, "conv2_3x3", pad=1)
-    x = _max_pool(x, 3, 2, ceil=True)
-
-    for (name, c1, _c3r, _c3, _d3r, _d31, _d32, _proj, pool, stride) in _INCEPTION_CFG:
-        branches = []
-        if c1 is not None:
-            branches.append(conv(x, f"{name}_1x1"))
-        b3 = conv(x, f"{name}_3x3_reduce")
-        b3 = conv(b3, f"{name}_3x3", stride=stride, pad=1)
-        branches.append(b3)
-        bd = conv(x, f"{name}_double_3x3_reduce")
-        bd = conv(bd, f"{name}_double_3x3_1", pad=1)
-        bd = conv(bd, f"{name}_double_3x3_2", stride=stride, pad=1)
-        branches.append(bd)
-        if stride == 1:
-            bp = (_avg_pool_include_pad(x, 3, 1, 1) if pool == "avg"
-                  else _max_pool(x, 3, 1, pad=1))
-            branches.append(conv(bp, f"{name}_pool_proj"))
-        else:
-            branches.append(_max_pool(x, 3, 2, ceil=True))
-        x = jnp.concatenate(branches, axis=-1)
-
+    ops = _PerLayerOps(q, act_scales=act_scales)
+    x = _walk_trunk(ops, _walk_stem(ops, x.astype(jnp.bfloat16)))
     return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
 
@@ -230,53 +281,111 @@ def quantize_backbone_e2e(params: dict, batch_stats: dict,
     folded = folded if folded is not None else fold_bn(params, batch_stats)
     s = {k: max(float(v), 1e-8) / 127.0 for k, v in out_maxes.items()}
     qe: QuantizedParams = {}
-
-    def quant(name: str, sx) -> float:
-        w = np.asarray(folded[name]["kernel"], np.float64)
-        sx_vec = np.broadcast_to(np.asarray(sx, np.float64), (w.shape[2],))
-        w = w * sx_vec[None, None, :, None]
-        sw = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
-        sw = np.where(sw == 0, 1.0, sw)
-        wq = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
-        so = s[name]
-        qe[name] = {"wq": jnp.asarray(wq),
-                    "m": jnp.asarray(sw / so, jnp.float32),
-                    "bq": jnp.asarray(
-                        np.asarray(folded[name]["bias"], np.float64) / so,
-                        jnp.float32)}
-        return so
+    ops = _ScaleOps(folded, s, qe)
 
     if hybrid_stem:
-        s2 = s["conv2_3x3"]
         qe["__stem__"] = {
             name: {"kernel": jnp.asarray(folded[name]["kernel"],
                                          jnp.bfloat16),
                    "bias": jnp.asarray(folded[name]["bias"], jnp.bfloat16)}
             for name in ("conv1_7x7_s2", "conv2_3x3_reduce", "conv2_3x3")}
-        qe["__stem_scale__"] = jnp.asarray(s2, jnp.float32)
+        qe["__stem_scale__"] = jnp.asarray(s["conv2_3x3"], jnp.float32)
+        sx = np.full(folded["conv2_3x3"]["kernel"].shape[3], s["conv2_3x3"])
     else:
-        s1 = quant("conv1_7x7_s2", s["input"])
-        s2r = quant("conv2_3x3_reduce", s1)
-        s2 = quant("conv2_3x3", s2r)
-    sx = np.full(folded["conv2_3x3"]["kernel"].shape[3], s2)
-    for (name, c1, _c3r, c3, _d3r, _d31, cd32, cproj, _pool, stride) in _INCEPTION_CFG:
-        parts = []
-        if c1 is not None:
-            parts.append(np.full(c1, quant(f"{name}_1x1", sx)))
-        s3r = quant(f"{name}_3x3_reduce", sx)
-        parts.append(np.full(c3, quant(f"{name}_3x3", s3r)))
-        sdr = quant(f"{name}_double_3x3_reduce", sx)
-        sd1 = quant(f"{name}_double_3x3_1", sdr)
-        parts.append(np.full(cd32, quant(f"{name}_double_3x3_2", sd1)))
-        if stride == 1:
-            parts.append(np.full(cproj, quant(f"{name}_pool_proj", sx)))
-        else:
-            parts.append(sx)       # passthrough max pool keeps its scales
-        sx = np.concatenate(parts)
+        sx = _walk_stem(ops, np.asarray(s["input"]))
+    sx = _walk_trunk(ops, sx)
 
     qe["__input_scale__"] = jnp.asarray(s["input"], jnp.float32)
     qe["__feat_scale__"] = jnp.asarray(sx, jnp.float32)
     return qe
+
+
+class _ScaleOps:
+    """Host scale algebra: 'tensors' are per-channel activation scale vectors.
+
+    ``conv`` absorbs its input scales into the weights, int8-quantizes them
+    per output channel into ``out``, and returns the conv's own (uniform)
+    output scale vector; pools are scale-preserving per channel, so the
+    stride-2 passthrough branch just carries its input scales into the
+    concat.
+    """
+
+    def __init__(self, folded: dict, s: Dict[str, float],
+                 out: QuantizedParams):
+        self.folded = folded
+        self.s = s
+        self.out = out
+
+    def conv(self, sx, name, stride=1, pad=0):
+        w = np.asarray(self.folded[name]["kernel"], np.float64)
+        sx_vec = np.broadcast_to(np.asarray(sx, np.float64), (w.shape[2],))
+        w = w * sx_vec[None, None, :, None]
+        sw = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
+        sw = np.where(sw == 0, 1.0, sw)
+        wq = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
+        so = self.s[name]
+        self.out[name] = {"wq": jnp.asarray(wq),
+                          "m": jnp.asarray(sw / so, jnp.float32),
+                          "bq": jnp.asarray(
+                              np.asarray(self.folded[name]["bias"],
+                                         np.float64) / so, jnp.float32)}
+        return np.full(w.shape[3], so)
+
+    def max_pool(self, sx, kernel, stride, ceil=False, pad=0):
+        return sx
+
+    def avg_pool(self, sx, kernel, stride, pad):
+        return sx
+
+    def concat(self, parts):
+        return np.concatenate([np.atleast_1d(p) for p in parts])
+
+
+class _E2EOps:
+    """int8 activations end-to-end (the deployed runtime face)."""
+
+    def __init__(self, qe: QuantizedParams):
+        self.qe = qe
+
+    def conv(self, xq, name, stride=1, pad=0):
+        return _conv_i8_e2e(xq, self.qe[name], stride=stride, pad=pad)
+
+    def max_pool(self, x, kernel, stride, ceil=False, pad=0):
+        return _max_pool_i8(x, kernel, stride, ceil=ceil, pad=pad)
+
+    def avg_pool(self, x, kernel, stride, pad):
+        return _avg_pool_i8_include_pad(x, kernel, stride, pad)
+
+    def concat(self, parts):
+        return jnp.concatenate(parts, axis=-1)
+
+
+class _StemBf16Ops:
+    """bf16 folded-weight stem (hybrid runtime + hybrid calibration face).
+
+    ``output_maxes``, when given, records each stem conv's post-ReLU max —
+    the hybrid calibration needs conv2_3x3's max to be measured on the SAME
+    bf16 tensor the runtime quantizes (an int8-proxy stem under-estimated it
+    enough to saturate detections; see _e2e_output_maxes).
+    """
+
+    def __init__(self, stem: dict, output_maxes: Dict[str, jnp.ndarray] = None):
+        self.stem = stem
+        self.output_maxes = output_maxes
+
+    def conv(self, h, name, stride=1, pad=0):
+        f = self.stem[name]
+        y = jax.lax.conv_general_dilated(
+            h, jnp.asarray(f["kernel"], jnp.bfloat16), (stride, stride),
+            ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = jnp.maximum(y + jnp.asarray(f["bias"], jnp.bfloat16), 0)
+        if self.output_maxes is not None:
+            self.output_maxes[name] = jnp.max(out).astype(jnp.float32)
+        return out
+
+    def max_pool(self, x, kernel, stride, ceil=False, pad=0):
+        return _max_pool(x, kernel, stride, ceil=ceil, pad=pad)
 
 
 def _e2e_stem_quantized(qe: QuantizedParams, x: jnp.ndarray) -> jnp.ndarray:
@@ -285,54 +394,18 @@ def _e2e_stem_quantized(qe: QuantizedParams, x: jnp.ndarray) -> jnp.ndarray:
     Hybrid qe: bf16 folded stem, one quantization at the stem output.
     All-int8 qe: input quantization + int8 stem convs."""
     if "__stem__" in qe:
-        def sconv(hh, name, stride=1, pad=0):
-            f = qe["__stem__"][name]
-            y = jax.lax.conv_general_dilated(
-                hh, f["kernel"], (stride, stride), ((pad, pad), (pad, pad)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            return jnp.maximum(y + f["bias"], 0)
-
-        h = sconv(x.astype(jnp.bfloat16), "conv1_7x7_s2", stride=2, pad=3)
-        h = _max_pool(h, 3, 2, ceil=True)
-        h = sconv(h, "conv2_3x3_reduce")
-        h = sconv(h, "conv2_3x3", pad=1)
-        h = _max_pool(h, 3, 2, ceil=True)
+        h = _walk_stem(_StemBf16Ops(qe["__stem__"]), x.astype(jnp.bfloat16))
         return jnp.clip(jnp.round(h.astype(jnp.float32) / qe["__stem_scale__"]),
                         0, 127).astype(jnp.int8)
     sin = qe["__input_scale__"]
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sin), -127, 127) \
         .astype(jnp.int8)
-    h = _conv_i8_e2e(xq, qe["conv1_7x7_s2"], stride=2, pad=3)
-    h = _max_pool_i8(h, 3, 2, ceil=True)
-    h = _conv_i8_e2e(h, qe["conv2_3x3_reduce"])
-    h = _conv_i8_e2e(h, qe["conv2_3x3"], pad=1)
-    return _max_pool_i8(h, 3, 2, ceil=True)
+    return _walk_stem(_E2EOps(qe), xq)
 
 
 def _e2e_trunk(qe: QuantizedParams, h: jnp.ndarray) -> jnp.ndarray:
     """int8 trunk input (N, h, w, 192) -> (N, 1024) f32 features."""
-    def conv(xx, name, stride=1, pad=0):
-        return _conv_i8_e2e(xx, qe[name], stride=stride, pad=pad)
-
-    for (name, c1, _c3r, _c3, _d3r, _d31, _d32, _proj, pool, stride) in _INCEPTION_CFG:
-        branches = []
-        if c1 is not None:
-            branches.append(conv(h, f"{name}_1x1"))
-        b3 = conv(h, f"{name}_3x3_reduce")
-        b3 = conv(b3, f"{name}_3x3", stride=stride, pad=1)
-        branches.append(b3)
-        bd = conv(h, f"{name}_double_3x3_reduce")
-        bd = conv(bd, f"{name}_double_3x3_1", pad=1)
-        bd = conv(bd, f"{name}_double_3x3_2", stride=stride, pad=1)
-        branches.append(bd)
-        if stride == 1:
-            bp = (_avg_pool_i8_include_pad(h, 3, 1, 1) if pool == "avg"
-                  else _max_pool_i8(h, 3, 1, pad=1))
-            branches.append(conv(bp, f"{name}_pool_proj"))
-        else:
-            branches.append(_max_pool_i8(h, 3, 2, ceil=True))
-        h = jnp.concatenate(branches, axis=-1)
-
+    h = _walk_trunk(_E2EOps(qe), h)
     return jnp.mean(h.astype(jnp.float32), axis=(1, 2)) * qe["__feat_scale__"]
 
 
@@ -425,53 +498,13 @@ def _e2e_output_maxes(q: QuantizedParams, x: jnp.ndarray,
     saturate detections: combined-score delta 0.148 vs the 0.12 bound)."""
     maxes: Dict[str, jnp.ndarray] = {
         "input": jnp.max(jnp.abs(x)).astype(jnp.float32)}
-
-    def conv(xx, name, stride=1, pad=0):
-        out = _conv_int8(xx, q[name], stride=stride, pad=pad)
-        maxes[name] = jnp.max(out).astype(jnp.float32)    # post-ReLU => |max|
-        return out
-
+    ops = _PerLayerOps(q, output_maxes=maxes)
     h = x.astype(jnp.bfloat16)
     if stem_folded is not None:
-        def sconv(hh, name, stride=1, pad=0):
-            f = stem_folded[name]
-            y = jax.lax.conv_general_dilated(
-                hh, jnp.asarray(f["kernel"], jnp.bfloat16), (stride, stride),
-                ((pad, pad), (pad, pad)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            out = jnp.maximum(y + jnp.asarray(f["bias"], jnp.bfloat16), 0)
-            maxes[name] = jnp.max(out).astype(jnp.float32)
-            return out
-
-        h = sconv(h, "conv1_7x7_s2", stride=2, pad=3)
-        h = _max_pool(h, 3, 2, ceil=True)
-        h = sconv(h, "conv2_3x3_reduce")
-        h = sconv(h, "conv2_3x3", pad=1)
-        h = _max_pool(h, 3, 2, ceil=True)
+        h = _walk_stem(_StemBf16Ops(stem_folded, output_maxes=maxes), h)
     else:
-        h = conv(h, "conv1_7x7_s2", stride=2, pad=3)
-        h = _max_pool(h, 3, 2, ceil=True)
-        h = conv(h, "conv2_3x3_reduce")
-        h = conv(h, "conv2_3x3", pad=1)
-        h = _max_pool(h, 3, 2, ceil=True)
-    for (name, c1, _c3r, _c3, _d3r, _d31, _d32, _proj, pool, stride) in _INCEPTION_CFG:
-        branches = []
-        if c1 is not None:
-            branches.append(conv(h, f"{name}_1x1"))
-        b3 = conv(h, f"{name}_3x3_reduce")
-        b3 = conv(b3, f"{name}_3x3", stride=stride, pad=1)
-        branches.append(b3)
-        bd = conv(h, f"{name}_double_3x3_reduce")
-        bd = conv(bd, f"{name}_double_3x3_1", pad=1)
-        bd = conv(bd, f"{name}_double_3x3_2", stride=stride, pad=1)
-        branches.append(bd)
-        if stride == 1:
-            bp = (_avg_pool_include_pad(h, 3, 1, 1) if pool == "avg"
-                  else _max_pool(h, 3, 1, pad=1))
-            branches.append(conv(bp, f"{name}_pool_proj"))
-        else:
-            branches.append(_max_pool(h, 3, 2, ceil=True))
-        h = jnp.concatenate(branches, axis=-1)
+        h = _walk_stem(ops, h)
+    _walk_trunk(ops, h)
     return maxes
 
 
@@ -552,35 +585,8 @@ def _calibration_maxes(q: QuantizedParams,
     compile (the previous eager version fetched a host float per conv —
     dozens of tiny remote programs through the tunnel)."""
     maxes: Dict[str, jnp.ndarray] = {}
-
-    def conv(x, name, stride=1, pad=0):
-        maxes[name] = jnp.max(jnp.abs(x)).astype(jnp.float32)
-        return _conv_int8(x, q[name], stride=stride, pad=pad)
-
-    x = sample_frames.astype(jnp.bfloat16)
-    x = conv(x, "conv1_7x7_s2", stride=2, pad=3)
-    x = _max_pool(x, 3, 2, ceil=True)
-    x = conv(x, "conv2_3x3_reduce")
-    x = conv(x, "conv2_3x3", pad=1)
-    x = _max_pool(x, 3, 2, ceil=True)
-    for (name, c1, _c3r, _c3, _d3r, _d31, _d32, _proj, pool, stride) in _INCEPTION_CFG:
-        branches = []
-        if c1 is not None:
-            branches.append(conv(x, f"{name}_1x1"))
-        b3 = conv(x, f"{name}_3x3_reduce")
-        b3 = conv(b3, f"{name}_3x3", stride=stride, pad=1)
-        branches.append(b3)
-        bd = conv(x, f"{name}_double_3x3_reduce")
-        bd = conv(bd, f"{name}_double_3x3_1", pad=1)
-        bd = conv(bd, f"{name}_double_3x3_2", stride=stride, pad=1)
-        branches.append(bd)
-        if stride == 1:
-            bp = (_avg_pool_include_pad(x, 3, 1, 1) if pool == "avg"
-                  else _max_pool(x, 3, 1, pad=1))
-            branches.append(conv(bp, f"{name}_pool_proj"))
-        else:
-            branches.append(_max_pool(x, 3, 2, ceil=True))
-        x = jnp.concatenate(branches, axis=-1)
+    ops = _PerLayerOps(q, input_maxes=maxes)
+    _walk_trunk(ops, _walk_stem(ops, sample_frames.astype(jnp.bfloat16)))
     return maxes
 
 
