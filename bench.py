@@ -142,14 +142,18 @@ def main():
     pre_ship_ms = ship_probe_ms()
     log(f"pre-exec ship probe: {pre_ship_ms:.0f} ms / 16.7MB")
 
-    def make_scorer(quantize):
+    def make_scorer(quantize, shared_stem=False, prequantized=None):
         return ProposalScorer(model, variables["params"],
                               variables.get("batch_stats"), spec,
                               reg_stats=reg_stats, num_class=K,
                               test_crops=CROPS, chunk_frames=TICKS_PER_CHUNK,
                               device_crops=True, quantize=quantize,
-                              calibration_frames=(host_chunk[:8] if quantize
-                                                  else None))
+                              calibration_frames=(
+                                  host_chunk[:8]
+                                  if quantize and prequantized is None
+                                  else None),
+                              shared_stem=shared_stem,
+                              prequantized=prequantized)
 
     # the DEFAULT ssn_test configuration for BNInception: int8-e2e
     t0 = time.time()
@@ -209,6 +213,19 @@ def main():
     exec_s = measure_resident(scorer, "int8-e2e")
     # 2. extra: unquantized bf16 (--no_int8)
     bf16_exec_s = measure_resident(scorer_bf16, "bf16")
+
+    # 2b. extra: shared-stem 10-crop scoring (opt-in `ssn_test --shared_stem`;
+    # stem per frame+flip instead of per crop, crop windows sliced on the
+    # stride-8 feature grid — accuracy bounded in tests/test_sharedstem.py).
+    # Reuses the headline scorer's quantized tree, so no second calibration.
+    sharedstem_exec_s = None
+    try:
+        scorer_shared = make_scorer("e2e", shared_stem=True,
+                                    prequantized=scorer.export_quantized())
+        sharedstem_exec_s = measure_resident(scorer_shared,
+                                             "int8-e2e+sharedstem")
+    except Exception as e:    # keep the headline if the opt-in arm fails
+        log(f"[int8-e2e+sharedstem] skipped: {e}")
 
     # 3. extra: per-step host ship included (tunnel-channel dependent here)
     ship_s = measure(scorer, ship, MEASURE_STEPS)
@@ -270,6 +287,11 @@ def main():
         "exec_ms_per_step": round(exec_s * 1e3, 2),
         "bf16_images_per_sec": round(IMAGES_PER_STEP / bf16_exec_s, 2),
         "bf16_exec_ms_per_step": round(bf16_exec_s * 1e3, 2),
+        **({"sharedstem_images_per_sec":
+                round(IMAGES_PER_STEP / sharedstem_exec_s, 2),
+            "sharedstem_exec_ms_per_step":
+                round(sharedstem_exec_s * 1e3, 2)}
+           if sharedstem_exec_s else {}),
         "shipped_images_per_sec": round(shipped_images_per_sec, 2),
         "ship_MBps_pre": round(16.7 / pre_ship_ms * 1e3, 1),
         "ship_MBps_post": round(16.7 / post_ship_ms * 1e3, 1),
