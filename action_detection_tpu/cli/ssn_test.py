@@ -212,6 +212,10 @@ def main(argv=None):
         with quant_lock:
             if "tree" not in shared_quantized:
                 scorer = make_scorer(device, None)
+                # export is None only when calibration_frames was None,
+                # i.e. EVERY video in the dataset has zero ticks — then no
+                # scorer ever scores a chunk, so nobody lazily calibrates
+                # and sharing None is moot
                 shared_quantized["tree"] = scorer.export_quantized()
                 return scorer
             prequant = shared_quantized["tree"]

@@ -121,9 +121,23 @@ class ProposalScorer:
 
         kernel, bias = fuse_test_heads(params, self.num_class, stpp_cfg,
                                        with_regression=with_regression)
+        self._quantize_mode = ({False: None, None: None, True: "e2e"}
+                               .get(quantize, quantize))
+        if self._quantize_mode not in (None, "e2e", "perlayer"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
+        if self._quantize_mode:
+            # quantized traces never touch the float backbone (and lazy
+            # calibration runs from a host copy), so don't ship the dead
+            # ~40-95MB backbone tree to every fan-out device
+            variables = {"params": {k: p for k, p in params.items()
+                                    if k != "backbone"}}
+            slim_stats = {k: s for k, s in (batch_stats or {}).items()
+                          if k != "backbone"}
+            if slim_stats:
+                variables["batch_stats"] = slim_stats
         self._variables = jax.device_put(variables, self.device)
         self._kernel = jax.device_put(kernel, self.device)
         self._bias = jax.device_put(bias, self.device)
@@ -145,11 +159,8 @@ class ProposalScorer:
         # * "perlayer": dequant/requant around each conv, dynamic scales
         #   possible without calibration.
         # e2e needs calibration; without calibration_frames it lazily
-        # calibrates on the first scored chunk.
-        self._quantize_mode = ({False: None, None: None, True: "e2e"}
-                               .get(quantize, quantize))
-        if self._quantize_mode not in (None, "e2e", "perlayer"):
-            raise ValueError(f"unknown quantize mode {quantize!r}")
+        # calibrates on the first scored chunk. (The mode itself is resolved
+        # above, before the device variables are built.)
         if self.shared_stem and self._quantize_mode != "e2e":
             raise ValueError("shared_stem is only wired for the int8-e2e "
                              f"backbone (quantize={quantize!r})")
@@ -187,10 +198,12 @@ class ProposalScorer:
                         self._quantized = jax.device_put(
                             calibrate_e2e_backbone(model.base_model, *qp,
                                                    sample), self.device)
-                    except Exception as e:
-                        # most likely a pool/stride shape inconsistency from
-                        # odd calibration-frame dims — surface the contract
-                        # instead of the backbone's opaque shape error
+                    except (TypeError, ValueError) as e:
+                        # shape errors only (XLA raises TypeError on the
+                        # pool-vs-conv concat mismatch odd dims produce):
+                        # surface the calibration-frame contract; anything
+                        # else (missing params, compile failures) propagates
+                        # untranslated
                         cs = self.input_spec.input_size
                         raise ValueError(
                             "int8 calibration failed on frames of shape "
@@ -345,7 +358,10 @@ class ProposalScorer:
         # Center-crop any OVERSIZED dim so a mixed case like (200, 340)
         # reaches the backbone as (200, 224) instead of raw scale width —
         # slicing only dims > cs never reads out of bounds; genuinely tiny
-        # geometries (test backbones) pass through unchanged.
+        # geometries (test backbones) pass through unchanged. NOTE: a dim
+        # below the crop size that is pool-inconsistent for the real
+        # backbone (e.g. 200 for BNInception) still raises — the ctor
+        # translates that into the calibration-frame-contract error.
         if H > cs:
             o = (H - cs) // 2
             frames = frames[:, o:o + cs]

@@ -457,28 +457,11 @@ def bninception_int8_e2e_features_sharedstem(
     Returns (10*N, 1024) f32 features, crop-major (the scorer's crop-mean
     reduces over the leading axis; order across crops is irrelevant).
     """
-    from ...data.transforms import fill_fix_offset
     from .bn_inception import stem_feature_hw
+    from .quantize import sharedstem_crop_windows
 
-    N, H, W, _ = xn.shape
-    fh, fw = stem_feature_hw(H), stem_feature_hw(W)
-    fc = stem_feature_hw(crop_size)
-
-    def snap(o: int, lim: int) -> int:
-        return min(max(int(o / 8 + 0.5), 0), lim)
-
-    stem = _e2e_stem_quantized(qe, jnp.concatenate(
-        [xn, jnp.flip(flip_src, axis=2)], axis=0))
-    sn, sf = stem[:N], stem[N:]
-    windows = []
-    for o_w, o_h in fill_fix_offset(False, W, H, crop_size, crop_size):
-        fx, fy = snap(o_w, fw - fc), snap(o_h, fh - fc)
-        windows.append(sn[:, fy:fy + fc, fx:fx + fc, :])
-        # flip(crop(x, o)) == crop(flip(x), W - crop - o): slice the flipped
-        # frame's stem at the mirrored (then snapped) offset
-        mx = snap(W - crop_size - o_w, fw - fc)
-        windows.append(sf[:, fy:fy + fc, mx:mx + fc, :])
-    h = jnp.stack(windows, axis=0).reshape((10 * N, fc, fc, stem.shape[-1]))
+    h = sharedstem_crop_windows(lambda x: _e2e_stem_quantized(qe, x),
+                                stem_feature_hw, xn, flip_src, crop_size)
     return _e2e_trunk(qe, h)
 
 

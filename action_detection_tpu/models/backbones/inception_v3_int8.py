@@ -394,23 +394,8 @@ def inception_v3_int8_e2e_features_sharedstem(
 
     Returns (10*N, 2048) f32 features, crop-major.
     """
-    from ...data.transforms import fill_fix_offset
+    from .quantize import sharedstem_crop_windows
 
-    N, H, W, _ = xn.shape
-    fh, fw = iv3_stem_feature_hw(H), iv3_stem_feature_hw(W)
-    fc = iv3_stem_feature_hw(crop_size)
-
-    def snap(o: int, lim: int) -> int:
-        return min(max(int(o / 8 + 0.5), 0), lim)
-
-    stem = _iv3_stem_quantized(qe, jnp.concatenate(
-        [xn, jnp.flip(flip_src, axis=2)], axis=0))
-    sn, sf = stem[:N], stem[N:]
-    windows = []
-    for o_w, o_h in fill_fix_offset(False, W, H, crop_size, crop_size):
-        fx, fy = snap(o_w, fw - fc), snap(o_h, fh - fc)
-        windows.append(sn[:, fy:fy + fc, fx:fx + fc, :])
-        mx = snap(W - crop_size - o_w, fw - fc)
-        windows.append(sf[:, fy:fy + fc, mx:mx + fc, :])
-    h = jnp.stack(windows, axis=0).reshape((10 * N, fc, fc, stem.shape[-1]))
+    h = sharedstem_crop_windows(lambda x: _iv3_stem_quantized(qe, x),
+                                iv3_stem_feature_hw, xn, flip_src, crop_size)
     return _walk_trunk(_ForwardOps(qe), h)

@@ -61,6 +61,51 @@ def supports_shared_stem(arch: str) -> bool:
     return arch in ("BNInception", "InceptionV3")
 
 
+def sharedstem_crop_windows(stem_fn, feature_hw, xn, flip_src,
+                            crop_size: int):
+    """Run ``stem_fn`` once per frame (+ once per flipped frame) and slice
+    the 10 oversample crop windows on the stride-8 trunk-input grid.
+
+    The crop-grid geometry shared by both backbones' shared-stem paths
+    (single source — a change to the snap rule or mirror formula cannot
+    diverge per backbone):
+
+    * offsets snap to the stride-8 grid: ``snap(o) = round(o / 8)`` clamped
+      to the window range (<=4 px shift at production 340x256 -> 224);
+    * flipped crops slice a flipped-FRAME stem pass at the mirrored offset
+      (``flip(crop(x, o)) == crop(flip(x), W - crop - o)``) — stems with
+      asymmetric padding (ceil-mode pools pad right/bottom only) are not
+      flip-equivariant, so flipping stem outputs would be wrong;
+    * Flow's plane inversion rides in ``flip_src``.
+
+    ``feature_hw``: pixel dim -> trunk-input dim for the backbone's stem.
+    Returns ``(10*N, fc, fc, C)`` trunk inputs, crop-major (matching
+    ``device_oversample_normed``'s crop order up to crop permutation, which
+    the scorer's crop-mean makes irrelevant).
+    """
+    import jax.numpy as jnp
+
+    from ...data.transforms import fill_fix_offset
+
+    N, H, W, _ = xn.shape
+    fh, fw = feature_hw(H), feature_hw(W)
+    fc = feature_hw(crop_size)
+
+    def snap(o: int, lim: int) -> int:
+        return min(max(int(o / 8 + 0.5), 0), lim)
+
+    stem = stem_fn(jnp.concatenate([xn, jnp.flip(flip_src, axis=2)], axis=0))
+    sn, sf = stem[:N], stem[N:]
+    windows = []
+    for o_w, o_h in fill_fix_offset(False, W, H, crop_size, crop_size):
+        fx, fy = snap(o_w, fw - fc), snap(o_h, fh - fc)
+        windows.append(sn[:, fy:fy + fc, fx:fx + fc, :])
+        mx = snap(W - crop_size - o_w, fw - fc)
+        windows.append(sf[:, fy:fy + fc, mx:mx + fc, :])
+    return jnp.stack(windows, axis=0).reshape(
+        (10 * N, fc, fc, stem.shape[-1]))
+
+
 def int8_e2e_features_sharedstem(arch: str, qe: Dict[str, Any], xn, flip_src,
                                  crop_size: int):
     """Normalized FRAMES (+ flip source) -> (10*N, F) 10-crop features with
