@@ -47,7 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
                              "trunk-input grid (~2.9x less stem work; "
                              "approximate — offsets snap <=4px; bounded "
                              "end-to-end in tests/test_sharedstem.py). "
-                             "Requires int8-e2e + 10 device crops")
+                             "Default: ON when int8-e2e + 10 device crops "
+                             "are active (measured 1.20x on chip)")
     parser.add_argument("--no_shared_stem", dest="shared_stem",
                         action="store_false",
                         help="force per-crop stem computation")
@@ -101,10 +102,16 @@ def main(argv=None):
     if use_int8 and not supports_int8(args.arch, args.int8_mode):
         raise SystemExit(int8_support_error(args.arch, args.int8_mode))
 
-    # shared-stem: opt-in for now (throughput measured in
-    # scripts/sharedstem_probe.py; accuracy bounded in tests/test_sharedstem.py)
+    # shared-stem: default ON where wired (int8-e2e, 10 device crops) — the
+    # on-chip probe measured 31.48 -> 26.21 ms/step (1.20x, fused-score
+    # cosine 0.999984 / rel 0.006 at production geometry;
+    # scripts/sharedstem_probe.py), and accuracy is bounded end-to-end in
+    # tests/test_sharedstem.py + the reference-parity arm in
+    # tests/test_reference_pipeline.py. --no_shared_stem opts out.
     use_shared = (args.shared_stem if args.shared_stem is not None
-                  else False)
+                  else (use_int8 and args.int8_mode == "e2e"
+                        and args.test_crops == 10
+                        and supports_shared_stem(args.arch)))
     if use_shared and not (use_int8 and args.int8_mode == "e2e"
                            and args.test_crops == 10
                            and supports_shared_stem(args.arch)):

@@ -7,11 +7,14 @@ remote execution, see DESIGN.md "measurement methodology"):
 
 1. Headline: one step of the REAL inference program in ssn_test's DEFAULT
    configuration for BNInception — int8-e2e quantized backbone (activations
-   int8 end-to-end; detection-metric delta bounded in tests/test_int8.py),
-   with a device-resident input chunk: the device normalizes, cuts the
-   10-crop oversample (norm-first, bit-identical), runs the backbone,
-   applies the fused test FC, crop-means, and pools proposals with
-   reorganized STPP. Device-resident because on this tunneled harness the
+   int8 end-to-end; detection-metric delta bounded in tests/test_int8.py)
+   with shared-stem 10-crop scoring (bf16 stem once per frame+flip, crop
+   windows sliced on the stride-8 trunk-input grid; bounded in
+   tests/test_sharedstem.py), with a device-resident input chunk: the
+   device normalizes, runs the shared stem, slices the 10-crop windows,
+   runs the int8 trunk, applies the fused test FC, crop-means, and pools
+   proposals with reorganized STPP. Per-crop int8-e2e (--no_shared_stem)
+   is reported alongside. Device-resident because on this tunneled harness the
    host->device channel collapses to ~56MB/s after the first big-program
    execution (a harness artifact, process-wide, transfers only — measured
    in DESIGN.md); on a real TPU VM the 16.7MB input ship is ~1ms over PCIe,
@@ -209,26 +212,35 @@ def main():
         return exec_s
 
     dev_chunk = ship()
-    # 1. headline: int8-e2e (ssn_test's default for BNInception)
-    exec_s = measure_resident(scorer, "int8-e2e")
-    # 2. extra: unquantized bf16 (--no_int8)
-    bf16_exec_s = measure_resident(scorer_bf16, "bf16")
-
-    # 2b. extra: shared-stem 10-crop scoring (opt-in `ssn_test --shared_stem`;
-    # stem per frame+flip instead of per crop, crop windows sliced on the
-    # stride-8 feature grid — accuracy bounded in tests/test_sharedstem.py).
-    # Reuses the headline scorer's quantized tree, so no second calibration.
-    sharedstem_exec_s = None
+    # 1a. extra: per-crop int8-e2e (`ssn_test --no_shared_stem`)
+    percrop_exec_s = measure_resident(scorer, "int8-e2e-percrop")
+    # 1b. headline: int8-e2e + shared-stem 10-crop scoring — ssn_test's
+    # default for BNInception (stem per frame+flip instead of per crop, crop
+    # windows sliced on the stride-8 feature grid; accuracy bounded in
+    # tests/test_sharedstem.py + tests/test_reference_pipeline.py; on-chip
+    # probe 1.20x, scripts/sharedstem_probe.py). Reuses the per-crop
+    # scorer's quantized tree, so no second calibration.
+    scorer_shared = None
     try:
         scorer_shared = make_scorer("e2e", shared_stem=True,
                                     prequantized=scorer.export_quantized())
-        sharedstem_exec_s = measure_resident(scorer_shared,
-                                             "int8-e2e+sharedstem")
-    except Exception as e:    # keep the headline if the opt-in arm fails
-        log(f"[int8-e2e+sharedstem] skipped: {e}")
+        exec_s = measure_resident(scorer_shared, "int8-e2e+sharedstem")
+        mode = ("int8-e2e + shared-stem (ssn_test default for BNInception; "
+                "detection-delta bounded in tests/test_int8.py + "
+                "tests/test_sharedstem.py)")
+    except Exception as e:    # fall back to per-crop if the default arm fails
+        log(f"[int8-e2e+sharedstem] FAILED (falling back to per-crop): {e}")
+        scorer_shared = None
+        exec_s = percrop_exec_s
+        mode = ("int8-e2e per-crop (shared-stem arm failed this run; "
+                "detection-delta bounded in tests/test_int8.py)")
+    # 2. extra: unquantized bf16 (--no_int8)
+    bf16_exec_s = measure_resident(scorer_bf16, "bf16")
 
-    # 3. extra: per-step host ship included (tunnel-channel dependent here)
-    ship_s = measure(scorer, ship, MEASURE_STEPS)
+    # 3. extra: per-step host ship included (tunnel-channel dependent here);
+    # measured on the default (shared-stem) path when it built
+    scorer_default = scorer_shared if scorer_shared is not None else scorer
+    ship_s = measure(scorer_default, ship, MEASURE_STEPS)
     post_ship_ms = ship_probe_ms()
     log(f"with per-step 16.7MB ship: {ship_s*1e3:.1f} ms/step hard-synced "
         f"= {IMAGES_PER_STEP/ship_s:.0f} img/s "
@@ -249,14 +261,14 @@ def main():
 
         # warm pass compiles the e2e pool bucket + fills the page cache
         samples = [dataset.get_test_sample(i) for i in range(E2E_VIDEOS)]
-        scorer.score_video(samples[0], provider)
+        scorer_default.score_video(samples[0], provider)
 
         best_dt = float("inf")
         total_images = sum(len(s.frame_ticks) * CROPS for s in samples)
         for _ in range(2):
             t0 = time.time()
             for s in samples:
-                scorer.score_video(s, provider)
+                scorer_default.score_video(s, provider)
             best_dt = min(best_dt, time.time() - t0)
         sec_per_video = best_dt / E2E_VIDEOS
         e2e_images_per_sec = total_images / best_dt
@@ -266,11 +278,11 @@ def main():
 
         # cross-video packed scoring (--pack): same videos, one shared chunk
         # stream — the measured basis for the pack default decision
-        scorer.score_video_pack(samples, provider)      # warm the pack path
+        scorer_default.score_video_pack(samples, provider)  # warm the pack path
         best_pack = float("inf")
         for _ in range(2):
             t0 = time.time()
-            scorer.score_video_pack(samples, provider)
+            scorer_default.score_video_pack(samples, provider)
             best_pack = min(best_pack, time.time() - t0)
         pack_sec_per_video = best_pack / E2E_VIDEOS
         log(f"e2e --pack: {best_pack:.2f}s -> {pack_sec_per_video:.3f} "
@@ -282,16 +294,12 @@ def main():
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip (device-resident, hard-synced)",
         "vs_baseline": round(images_per_sec / A100_ERA_BASELINE_IMG_PER_SEC, 3),
-        "mode": "int8-e2e (ssn_test default for BNInception; "
-                "detection-delta bounded in tests/test_int8.py)",
+        "mode": mode,
         "exec_ms_per_step": round(exec_s * 1e3, 2),
+        "percrop_images_per_sec": round(IMAGES_PER_STEP / percrop_exec_s, 2),
+        "percrop_exec_ms_per_step": round(percrop_exec_s * 1e3, 2),
         "bf16_images_per_sec": round(IMAGES_PER_STEP / bf16_exec_s, 2),
         "bf16_exec_ms_per_step": round(bf16_exec_s * 1e3, 2),
-        **({"sharedstem_images_per_sec":
-                round(IMAGES_PER_STEP / sharedstem_exec_s, 2),
-            "sharedstem_exec_ms_per_step":
-                round(sharedstem_exec_s * 1e3, 2)}
-           if sharedstem_exec_s else {}),
         "shipped_images_per_sec": round(shipped_images_per_sec, 2),
         "ship_MBps_pre": round(16.7 / pre_ship_ms * 1e3, 1),
         "ship_MBps_post": round(16.7 / post_ship_ms * 1e3, 1),

@@ -139,6 +139,7 @@ def test_ssn_test_int8_collects_multivideo_calibration(workdir, monkeypatch):
         def __init__(self, model, params, batch_stats, spec, **kw):
             captured["calib"] = kw.get("calibration_frames")
             captured["quantize"] = kw.get("quantize")
+            captured["shared_stem"] = kw.get("shared_stem")
 
         def export_quantized(self):
             return None    # lazy-mode shape: siblings calibrate themselves
@@ -174,15 +175,24 @@ def test_ssn_test_int8_collects_multivideo_calibration(workdir, monkeypatch):
     with open("int8_scores.pkl", "rb") as f:
         assert len(pickle.load(f)) == 2
 
-    # int8 defaults ON for BNInception (no flag needed) and --no_int8 opts out
+    # int8 defaults ON for BNInception (no flag needed) and --no_int8 opts
+    # out; shared-stem rides the same default (on-chip win measured in
+    # scripts/sharedstem_probe.py) and --no_shared_stem opts out alone
     test_main(["thumos14", "RGB", ckpt, "int8_scores.pkl",
                "--synthetic_data", "--prop_file_dir", str(workdir),
                "--gpus", "0"])
     assert captured["quantize"] == "e2e" and captured["calib"] is not None
+    assert captured["shared_stem"] is True
+    test_main(["thumos14", "RGB", ckpt, "int8_scores.pkl",
+               "--synthetic_data", "--prop_file_dir", str(workdir),
+               "--no_shared_stem", "--gpus", "0"])
+    assert captured["quantize"] == "e2e" and captured["shared_stem"] is False
     test_main(["thumos14", "RGB", ckpt, "int8_scores.pkl",
                "--synthetic_data", "--prop_file_dir", str(workdir),
                "--no_int8", "--gpus", "0"])
     assert captured["quantize"] is False and captured["calib"] is None
+    # --no_int8 implies no shared stem (it requires the int8-e2e trunk)
+    assert captured["shared_stem"] is False
 
 
 def test_anet_actionness_100way_head(workdir, monkeypatch):

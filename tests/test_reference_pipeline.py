@@ -164,6 +164,10 @@ def _reference_frame_scores(ref, sample, provider, spec, modality: str,
     # f32 pipeline — bounded, not exact (quantization error); this is what a
     # reference user actually gets from ssn_test.py out of the box
     ("BNInception", "RGB", 10, "e2e"),
+    # the FULL deployed default (ssn_test.py): int8-e2e + shared-stem 10-crop
+    # (stem once per frame+flip, crop windows sliced on the stride-8 grid —
+    # on-chip probe: 1.20x, fused-score cosine 0.999984 / rel 0.006)
+    ("BNInception", "RGB", 10, "e2e+shared"),
 ])
 def test_full_scoring_pipeline_matches_reference(ref_ssn_module, tmp_path,
                                                  arch, modality, test_crops,
@@ -213,11 +217,15 @@ def test_full_scoring_pipeline_matches_reference(ref_ssn_module, tmp_path,
 
     model = SSN(num_class=K, base_model=arch, modality=modality, dropout=0.0)
     _, _, spec = get_backbone(arch, modality)
+    shared_stem = quantize == "e2e+shared"
     scorer = ProposalScorer(model, ours["params"],
                             ours["batch_stats"] or None, spec,
                             reg_stats=ours["reg_stats"], num_class=K,
                             test_crops=test_crops, chunk_frames=4,
-                            modality=modality, quantize=quantize or False)
+                            modality=modality,
+                            quantize=("e2e" if shared_stem
+                                      else quantize or False),
+                            shared_stem=shared_stem)
     out = scorer.score_video(sample, provider)
 
     # reference side: same frames through the reference's own host transform,
@@ -242,7 +250,10 @@ def test_full_scoring_pipeline_matches_reference(ref_ssn_module, tmp_path,
 
     if quantize:
         # int8-e2e vs the f32 reference: bounded agreement (the TPU drive of
-        # the same config measured cosine >= 0.9999 / rel <= 0.025)
+        # the same config measured cosine >= 0.9999 / rel <= 0.025; the
+        # shared-stem arm adds rel ~0.006 on top at production geometry —
+        # scripts/sharedstem_probe.py)
+        rel_bound = 0.12 if shared_stem else 0.1
         for got, want in ((out.act_scores, r_act.numpy()),
                           (out.comp_scores, r_comp.numpy()),
                           (out.reg_scores, r_reg)):
@@ -251,7 +262,7 @@ def test_full_scoring_pipeline_matches_reference(ref_ssn_module, tmp_path,
             cos = float(np.dot(g, w)
                         / (np.linalg.norm(g) * np.linalg.norm(w) + 1e-12))
             rel = float(np.linalg.norm(g - w) / (np.linalg.norm(w) + 1e-12))
-            assert cos > 0.99 and rel < 0.1, (cos, rel)
+            assert cos > 0.99 and rel < rel_bound, (cos, rel)
     else:
         np.testing.assert_allclose(out.act_scores, r_act.numpy(), atol=2e-3)
         np.testing.assert_allclose(out.comp_scores, r_comp.numpy(), atol=2e-3)
