@@ -48,6 +48,18 @@ def build_parser() -> argparse.ArgumentParser:
                         help="e2e: int8 activations end-to-end (fastest, "
                              "default); perlayer: dequant/requant around "
                              "each conv")
+    parser.add_argument("--shared_stem", action="store_true", default=None,
+                        help="run the backbone stem once per frame+flip and "
+                             "slice the 10 crop windows on the stride-8 "
+                             "trunk-input grid (~2.9x less stem work; "
+                             "approximate — bounds in "
+                             "tests/test_sharedstem.py; per-crop score "
+                             "layout preserved). Default: ON when int8-e2e "
+                             "+ 10 device crops are active (measured 1.20x "
+                             "on chip, scripts/sharedstem_probe.py)")
+    parser.add_argument("--no_shared_stem", dest="shared_stem",
+                        action="store_false",
+                        help="force per-crop stem computation")
     parser.add_argument("--gpus", "--devices", dest="devices", nargs="+",
                         type=int, default=None,
                         help="local device index to score on (first entry "
@@ -199,8 +211,39 @@ def main(argv=None):
     # binary_test.py:84-94.
     use_device_crops = args.test_crops == 10 and not args.host_crops
 
+    # shared-stem rides the same default as ssn_test (on-chip probe 1.20x;
+    # per-crop scores preserved — the sharedstem features are crop-major,
+    # tests/test_sharedstem.py pins the layout)
+    from ..models.backbones.quantize import supports_shared_stem
+
+    can_share = (use_device_crops and use_int8 and args.int8_mode == "e2e"
+                 and supports_shared_stem(args.arch))
+    use_shared = (args.shared_stem if args.shared_stem is not None
+                  else can_share)
+    if use_shared and not can_share:
+        raise SystemExit("--shared_stem requires int8-e2e, 10 device crops, "
+                         f"and a wired backbone (got arch={args.arch}, "
+                         f"int8={use_int8}/{args.int8_mode}, "
+                         f"crops={args.test_crops}, "
+                         f"host_crops={args.host_crops})")
+
     @jax.jit
     def score_chunk_impl(variables, quantized, act_scales, head, frames_u8):
+        if use_shared and quantized is not None:
+            # stem per frame+flip; crop windows sliced on the trunk-input
+            # grid. Returns (crops*ticks, D) crop-major — the same layout
+            # the per-crop path produces, so the reshape below is unchanged.
+            from ..data.transforms import device_normed_pair
+            from ..models.backbones.quantize import (
+                int8_e2e_features_sharedstem)
+
+            xn, flip_src = device_normed_pair(frames_u8, spec, args.modality,
+                                              new_length)
+            feats = int8_e2e_features_sharedstem(args.arch, quantized, xn,
+                                                 flip_src, spec.input_size)
+            return jnp.matmul(feats, head["kernel"],
+                              precision=jax.lax.Precision.HIGHEST) \
+                + head["bias"]
         if use_device_crops:
             # normalize-then-crop: elementwise normalization commutes with
             # crop/flip, so this is bit-identical and ~5.8x cheaper on the

@@ -454,8 +454,9 @@ def bninception_int8_e2e_features_sharedstem(
         Flow, where flow-x planes are inverted).
       crop_size: square crop side in pixels.
 
-    Returns (10*N, 1024) f32 features, crop-major (the scorer's crop-mean
-    reduces over the leading axis; order across crops is irrelevant).
+    Returns (10*N, 1024) f32 features, crop-major in exactly
+    ``device_oversample_normed``'s crop order (load-bearing for
+    binary_test's per-crop score pickle; pinned in tests/test_sharedstem.py).
     """
     from .bn_inception import stem_feature_hw
     from .quantize import sharedstem_crop_windows

@@ -79,9 +79,11 @@ def sharedstem_crop_windows(stem_fn, feature_hw, xn, flip_src,
     * Flow's plane inversion rides in ``flip_src``.
 
     ``feature_hw``: pixel dim -> trunk-input dim for the backbone's stem.
-    Returns ``(10*N, fc, fc, C)`` trunk inputs, crop-major (matching
-    ``device_oversample_normed``'s crop order up to crop permutation, which
-    the scorer's crop-mean makes irrelevant).
+    Returns ``(10*N, fc, fc, C)`` trunk inputs, crop-major in EXACTLY
+    ``device_oversample_normed``'s [o0, o0-flip, o1, o1-flip, ...] order —
+    load-bearing for binary_test's per-crop score pickle (the scorer's
+    crop-mean wouldn't care, but the per-crop layout does; pinned in
+    tests/test_sharedstem.py::test_sharedstem_percrop_layout).
     """
     import jax.numpy as jnp
 

@@ -123,6 +123,14 @@ def test_binary_train_and_test_and_tag(workdir, monkeypatch):
         vscores = pickle.load(f)
     assert len(vscores) == 3 and len(bscores) == 2
 
+    # --shared_stem needs the int8-e2e trunk (TinyConv has none): hard error,
+    # not a silent fall-through; the BNInception default-on is pinned in
+    # tests/test_sharedstem.py (feature layout) + the ssn_test CLI test above
+    with pytest.raises(SystemExit, match="shared_stem"):
+        btest(["thumos14", "RGB", "testing", ckpt, "x.pkl", "--arch",
+               "TinyConv", "--synthetic_data", "--prop_file_dir",
+               str(workdir), "--frame_interval", "30", "--shared_stem"])
+
 
 def test_ssn_test_int8_collects_multivideo_calibration(workdir, monkeypatch):
     """--int8 must calibrate on frames spread across several test videos

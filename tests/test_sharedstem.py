@@ -105,6 +105,42 @@ def test_sharedstem_features_close(backbone_setup):
     assert rel < 0.05, rel           # measured 0.013
 
 
+def test_sharedstem_percrop_layout(backbone_setup):
+    """Per-CROP correspondence, not just crop-mean: binary_test keeps the
+    (frames, crops, K) per-crop pickle, so the sharedstem features must be
+    crop-major in exactly device_oversample_normed's
+    [o0, o0-flip, o1, o1-flip, ...] order. Matched crop pairs must agree
+    far better than mismatched pairs — a permutation or transposed
+    (ticks, crops) layout fails this hard."""
+    rng = np.random.RandomState(3)
+    H, W, cs = 128, 160, 96          # 8-aligned offsets -> interior exact
+    N = 3
+    frames = rng.randint(0, 256, size=(N, H, W, 3), dtype=np.uint8)
+    spec, crops, qe = _calibrated(backbone_setup, frames, cs)
+
+    xn, flip_src = device_normed_pair(jnp.asarray(frames), spec, "RGB", 1)
+    ref = np.asarray(bninception_int8_e2e_features(qe, crops),
+                     np.float64).reshape(10, N, -1)
+    got = np.asarray(bninception_int8_e2e_features_sharedstem(
+        qe, xn, flip_src, cs), np.float64).reshape(10, N, -1)
+
+    def cos(a, b):
+        return float(np.dot(a, b)
+                     / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    matched = np.array([[cos(ref[c, n], got[c, n])
+                         for n in range(N)] for c in range(10)])
+    # every (crop, tick) cell pairs with its own counterpart
+    assert matched.min() > 0.98, matched.min()
+    # ...and beats pairing with any OTHER crop of the same tick (layout
+    # scrambles would surface here: crops of one frame are distinct windows)
+    for n in range(N):
+        for c in range(10):
+            others = [cos(ref[c2, n], got[c, n]) for c2 in range(10)
+                      if c2 != c]
+            assert matched[c, n] > max(others) + 0.005, (c, n)
+
+
 def test_sharedstem_flow_modality(backbone_setup):
     """Flow (new_length=5, 10-channel stacks): the flip inversion rides in
     flip_src; shared-stem tracks the per-crop path."""
