@@ -107,15 +107,27 @@ def test_sharedstem_features_close(backbone_setup):
 
 def test_sharedstem_percrop_layout(backbone_setup):
     """Per-CROP correspondence, not just crop-mean: binary_test keeps the
-    (frames, crops, K) per-crop pickle, so the sharedstem features must be
-    crop-major in exactly device_oversample_normed's
-    [o0, o0-flip, o1, o1-flip, ...] order. Matched crop pairs must agree
-    far better than mismatched pairs — a permutation or transposed
-    (ticks, crops) layout fails this hard."""
-    rng = np.random.RandomState(3)
+    (frames, crops, K) per-crop pickle (reference binary_test.py:84-94), so
+    the sharedstem features must be crop-major in exactly
+    device_oversample_normed's [o0, o0-flip, o1, o1-flip, ...] order.
+
+    Discriminativeness is engineered, not hoped for: (a) frames are
+    high-contrast 16px random tiles, so each crop window pools genuinely
+    different content (uniform-random pixels make all windows statistically
+    identical — global-pooled features were ~0.999-correlated across crops
+    and the margin sat in cross-host float noise); (b) cosine is computed on
+    CENTERED features (per-tick mean over crops removed), which strips the
+    shared component that dominates raw cosine. Measured on this fixture:
+    matched min 0.78, worst matched-vs-best-mismatched margin 0.36 — the
+    0.12 assertion has 3x headroom and is ~1000x above float noise. A
+    permuted or (ticks, crops)-transposed layout drives matched cells
+    negative and fails hard."""
+    rng = np.random.RandomState(7)
     H, W, cs = 128, 160, 96          # 8-aligned offsets -> interior exact
     N = 3
-    frames = rng.randint(0, 256, size=(N, H, W, 3), dtype=np.uint8)
+    tiles = rng.randint(0, 256, size=(N, H // 16 + 1, W // 16 + 1, 3))
+    frames = (tiles.repeat(16, axis=1).repeat(16, axis=2)[:, :H, :W]
+              .astype(np.uint8))
     spec, crops, qe = _calibrated(backbone_setup, frames, cs)
 
     xn, flip_src = device_normed_pair(jnp.asarray(frames), spec, "RGB", 1)
@@ -124,21 +136,28 @@ def test_sharedstem_percrop_layout(backbone_setup):
     got = np.asarray(bninception_int8_e2e_features_sharedstem(
         qe, xn, flip_src, cs), np.float64).reshape(10, N, -1)
 
+    # centered cosine: remove the per-tick mean over crops (the component
+    # every crop of a frame shares) so only layout-identifying structure
+    # enters the comparison
+    refc = ref - ref.mean(axis=0, keepdims=True)
+    gotc = got - got.mean(axis=0, keepdims=True)
+
     def cos(a, b):
         return float(np.dot(a, b)
                      / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
 
-    matched = np.array([[cos(ref[c, n], got[c, n])
+    matched = np.array([[cos(refc[c, n], gotc[c, n])
                          for n in range(N)] for c in range(10)])
-    # every (crop, tick) cell pairs with its own counterpart
-    assert matched.min() > 0.98, matched.min()
-    # ...and beats pairing with any OTHER crop of the same tick (layout
-    # scrambles would surface here: crops of one frame are distinct windows)
+    # every (crop, tick) cell pairs with its own counterpart (measured 0.78+)
+    assert matched.min() > 0.6, matched.min()
+    # ...and beats pairing with any OTHER crop of the same tick by a margin
+    # far outside float noise (measured worst margin 0.36)
     for n in range(N):
         for c in range(10):
-            others = [cos(ref[c2, n], got[c, n]) for c2 in range(10)
+            others = [cos(refc[c2, n], gotc[c, n]) for c2 in range(10)
                       if c2 != c]
-            assert matched[c, n] > max(others) + 0.005, (c, n)
+            assert matched[c, n] > max(others) + 0.12, (
+                c, n, matched[c, n], max(others))
 
 
 def test_sharedstem_flow_modality(backbone_setup):
