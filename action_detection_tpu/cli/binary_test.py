@@ -62,8 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="force per-crop stem computation")
     parser.add_argument("--gpus", "--devices", dest="devices", nargs="+",
                         type=int, default=None,
-                        help="local device index to score on (first entry "
-                             "is used; default device 0)")
+                        help="local device indices to fan videos out over "
+                             "(default: all) — the reference's --gpus "
+                             "worker pool (binary_test.py:98-167)")
     parser.add_argument("--host_crops", action="store_true",
                         help="cut the 10-crop oversample on host instead of "
                              "on device (debugging / parity checks)")
@@ -173,6 +174,16 @@ def main(argv=None):
                 else supports_int8(args.arch, args.int8_mode))
     if use_int8 and not supports_int8(args.arch, args.int8_mode):
         raise SystemExit(int8_support_error(args.arch, args.int8_mode))
+    if args.int8 is None and not use_int8:
+        if args.int8_mode != "e2e":
+            # the user explicitly asked for a quantized mode; silently
+            # running bf16 would score with a different numerical path than
+            # requested — refuse instead
+            raise SystemExit(
+                int8_support_error(args.arch, args.int8_mode)
+                + "; pass --no_int8 to run the bf16/f32 backbone")
+        print(f"int8 off: no int8 path wired for {args.arch}; "
+              "running the bf16/f32 backbone", flush=True)
     quantized = act_scales = None
     if use_int8:
         from ..data.pipeline import collect_calibration_frames
@@ -226,6 +237,13 @@ def main(argv=None):
                          f"int8={use_int8}/{args.int8_mode}, "
                          f"crops={args.test_crops}, "
                          f"host_crops={args.host_crops})")
+    if use_shared and quantized is None:
+        # int8 calibration collected no frames, so the jitted scorer takes
+        # the bf16 per-crop branch — say so instead of silently scoring on a
+        # different path than the (possibly explicit) --shared_stem asked for
+        print("shared_stem disabled: no int8 calibration frames, scoring on "
+              "the per-crop bf16 path", flush=True)
+        use_shared = False
 
     @jax.jit
     def score_chunk_impl(variables, quantized, act_scales, head, frames_u8):
@@ -267,23 +285,6 @@ def main(argv=None):
                               precision=jax.lax.Precision.HIGHEST) + head["bias"]
         return model.apply(variables, x, method=BinaryClassifier.score_frames)
 
-    # jit follows the placement of its committed arguments: commit the
-    # weights to the selected device ONCE (re-shipping ~40MB of params per
-    # chunk is exactly the transfer tax infer/scorer.py:106-112 avoids) and
-    # pin each chunk's frames to the same device
-    from ..parallel import select_devices
-
-    device = select_devices(args.devices)[0]
-    variables = jax.device_put(variables, device)
-    head = jax.device_put(head, device)
-    if quantized is not None:
-        quantized = jax.device_put(quantized, device)
-        act_scales = jax.device_put(act_scales, device)
-
-    def score_chunk(frames_u8):
-        return score_chunk_impl(variables, quantized, act_scales, head,
-                                jax.device_put(frames_u8, device))
-
     n = len(dataset.video_list)
     if args.max_num > 0:
         n = min(n, args.max_num)
@@ -293,9 +294,21 @@ def main(argv=None):
         print("note: -j/--workers only parallelizes decode on the "
               "device-crops path; the host-crop transform decodes per chunk")
 
-    results = {}
-    t0 = time.time()
-    for idx in range(n):
+    # multi-device fan-out (the reference's round-robin GPU worker pool,
+    # binary_test.py:98-167, rebuilt as one thread per device pulling video
+    # indices from a shared queue — the same pattern as
+    # infer/scorer.py:score_videos). Videos are independent, the calibrated
+    # quantized tree is computed ONCE on host and committed per device
+    # (byte-identical inputs -> byte-identical scores regardless of the
+    # device count), and jit follows the placement of its committed
+    # arguments, so each device runs its own executable without re-shipping
+    # ~40MB of params per chunk (see infer/scorer.py:_score_chunk_impl).
+    from ..parallel import select_devices
+
+    devices = select_devices(args.devices)
+
+    def score_one_video(idx, dev_state):
+        dv, dq, da, dh, device = dev_state
         sample = dataset.get_test_sample(idx)
         T = len(sample.frame_ticks)
         if use_device_crops:
@@ -314,7 +327,8 @@ def main(argv=None):
         for chunk in chunk_iter:
             n_ticks = chunk.shape[0] // host_crops
             chunk = pad_chunk_ticks(chunk, host_crops, args.test_batchsize)
-            scores = np.asarray(score_chunk(chunk))
+            scores = np.asarray(score_chunk_impl(
+                dv, dq, da, dh, jax.device_put(chunk, device)))
             # (crops * ticks, K) -> (ticks, crops, K)
             scores = scores.reshape(args.test_crops, args.test_batchsize,
                                     num_class)
@@ -324,15 +338,66 @@ def main(argv=None):
         # gen_bottom_up_proposals matches scores against dataset-DB ids
         vid_key = sample.video_id.split("/")[-1]
         if chunks:
-            results[vid_key] = np.concatenate(chunks, axis=0)[:T]
-        else:
-            # video shorter than new_length yields no ticks: keep an empty
-            # entry (the reference stores a zeros array and continues,
-            # binary_test.py:84-94) instead of crashing the whole run
-            results[vid_key] = np.zeros(
-                (0, args.test_crops, num_class), np.float32)
-        print(f"video {idx} {sample.video_id} done "
-              f"({(time.time() - t0) / (idx + 1):.3f} sec/video)", flush=True)
+            return vid_key, sample.video_id, np.concatenate(chunks, axis=0)[:T]
+        # video shorter than new_length yields no ticks: keep an empty
+        # entry (the reference stores a zeros array and continues,
+        # binary_test.py:84-94) instead of crashing the whole run
+        return vid_key, sample.video_id, np.zeros(
+            (0, args.test_crops, num_class), np.float32)
+
+    import queue
+    import threading
+
+    work: "queue.Queue" = queue.Queue()
+    for idx in range(n):
+        work.put(idx)
+    results = {}
+    errors = []
+    lock = threading.Lock()
+    t0 = time.time()
+
+    def worker(device):
+        try:
+            dev_state = (jax.device_put(variables, device),
+                         (jax.device_put(quantized, device)
+                          if quantized is not None else None),
+                         (jax.device_put(act_scales, device)
+                          if act_scales is not None else None),
+                         jax.device_put(head, device), device)
+        except Exception as e:  # surface instead of hanging the collection
+            with lock:
+                errors.append(e)
+            return
+        while True:
+            try:
+                idx = work.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                vid_key, vid, scores = score_one_video(idx, dev_state)
+            except Exception as e:
+                with lock:
+                    errors.append(e)
+                return
+            with lock:
+                results[vid_key] = scores
+                done = len(results)
+            print(f"video {idx} {vid} done "
+                  f"({(time.time() - t0) / done:.3f} sec/video)", flush=True)
+
+    if len(devices) == 1:
+        worker(devices[0])
+    else:
+        threads = [threading.Thread(target=worker, args=(d,))
+                   for d in devices]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    if errors:
+        # unlike the reference's daemon workers (a crash silently hangs the
+        # result loop), failures surface to the caller
+        raise errors[0]
 
     if decode_pool is not None:
         decode_pool.shutdown(wait=False)

@@ -101,6 +101,16 @@ def main(argv=None):
                 else supports_int8(args.arch, args.int8_mode))
     if use_int8 and not supports_int8(args.arch, args.int8_mode):
         raise SystemExit(int8_support_error(args.arch, args.int8_mode))
+    if args.int8 is None and not use_int8:
+        if args.int8_mode != "e2e":
+            # the user explicitly asked for a quantized mode; silently
+            # running bf16 would score with a different numerical path than
+            # requested — refuse instead
+            raise SystemExit(
+                int8_support_error(args.arch, args.int8_mode)
+                + "; pass --no_int8 to run the bf16/f32 backbone")
+        print(f"int8 off: no int8 path wired for {args.arch}; "
+              "running the bf16/f32 backbone", flush=True)
 
     # shared-stem: default ON where wired (int8-e2e, 10 device crops) — the
     # on-chip probe measured 31.48 -> 26.21 ms/step (1.20x, fused-score

@@ -256,6 +256,27 @@ class ProposalScorer:
                   if self._act_scales is not None else None)
         return jax.device_get(self._quantized), scales
 
+    @property
+    def needs_lazy_calibration(self) -> bool:
+        """True while this scorer would calibrate on its next scored chunk
+        (e2e quantize mode, no calibration_frames / prequantized yet)."""
+        return self._quantize_mode == "e2e" and self._quantized is None
+
+    def install_prequantized(self, export) -> None:
+        """Adopt a sibling scorer's ``export_quantized()`` tree.
+
+        Used by ``score_videos`` to share the first lazy calibration across
+        the device fan-out: per-device first-chunk calibration would give
+        each device its own activation scales (device-dependent scores).
+        """
+        if not self._quantize_mode:
+            raise ValueError("install_prequantized requires quantize mode")
+        q, scales = export
+        self._quantized = jax.device_put(q, self.device)
+        if scales is not None:
+            self._act_scales = jax.device_put(scales, self.device)
+        self._qp = None
+
     def close(self) -> None:
         """Shut down the decode thread pool (idempotent)."""
         if self._decode_pool is not None:
@@ -646,18 +667,35 @@ def score_videos(scorer_factory, dataset: SSNDataset, provider,
     results: Dict[str, ScoredVideo] = {}
     errors = []
     lock = threading.Lock()
+    # lazy-calibration election: scorers built without calibration_frames
+    # calibrate int8 scales on their first scored chunk — per device that
+    # would mean per-device scales and device-dependent scores, so the first
+    # worker to calibrate publishes its export and every other scorer
+    # installs it before scoring anything
+    calib_lock = threading.Lock()
+    shared_export = {"tree": None}
 
-    def worker(device):
-        try:
-            scorer = scorer_factory(device)
-        except Exception as e:  # propagate instead of hanging the collection
-            with lock:
-                errors.append(e)
-            return
+    def worker(device, prebuilt=None):
+        scorer = prebuilt
+        if scorer is None:
+            try:
+                scorer = scorer_factory(device)
+            except Exception as e:  # propagate, don't hang the collection
+                with lock:
+                    errors.append(e)
+                return
         try:
             _drain(scorer, device)
         finally:
             scorer.close()
+
+    def _score_one(scorer, idx):
+        if pack:
+            samples = [dataset.get_test_sample(i) for i in idx]
+            return scorer.score_video_pack(samples, provider,
+                                           keep_raw=keep_raw)
+        sample = dataset.get_test_sample(idx)
+        return [scorer.score_video(sample, provider, keep_raw=keep_raw)]
 
     def _drain(scorer, device):
         while True:
@@ -666,14 +704,21 @@ def score_videos(scorer_factory, dataset: SSNDataset, provider,
             except queue.Empty:
                 return
             try:
-                if pack:
-                    samples = [dataset.get_test_sample(i) for i in idx]
-                    outs = scorer.score_video_pack(samples, provider,
-                                                   keep_raw=keep_raw)
+                if scorer.needs_lazy_calibration:
+                    with calib_lock:
+                        if shared_export["tree"] is not None:
+                            scorer.install_prequantized(shared_export["tree"])
+                            outs = _score_one(scorer, idx)
+                        else:
+                            # this worker calibrates (serialized: until an
+                            # export exists, a concurrent score would
+                            # calibrate its own scales). A zero-tick video
+                            # scores no chunk and leaves the export unset —
+                            # the election then stays open.
+                            outs = _score_one(scorer, idx)
+                            shared_export["tree"] = scorer.export_quantized()
                 else:
-                    sample = dataset.get_test_sample(idx)
-                    outs = [scorer.score_video(sample, provider,
-                                               keep_raw=keep_raw)]
+                    outs = _score_one(scorer, idx)
             except Exception as e:
                 with lock:
                     errors.append(e)
@@ -685,7 +730,40 @@ def score_videos(scorer_factory, dataset: SSNDataset, provider,
                         print(f"scored {out.video_id} "
                               f"({len(results)}/{len(indices)})", flush=True)
 
-    threads = [threading.Thread(target=worker, args=(d,)) for d in devices]
+    # build the first device's scorer up front; when it would lazily
+    # calibrate AND the fan-out is multi-device, score work items on the
+    # MAIN thread until an export exists. This makes the calibrating chunk
+    # deterministic (always the first index), not whichever thread wins the
+    # election lock — so scores are identical across device counts and runs.
+    scorer0 = None
+    try:
+        scorer0 = scorer_factory(devices[0])
+    except Exception as e:
+        errors.append(e)
+    if (scorer0 is not None and scorer0.needs_lazy_calibration
+            and len(devices) > 1):
+        while shared_export["tree"] is None and not errors:
+            try:
+                idx = work.get_nowait()
+            except queue.Empty:
+                break
+            try:
+                outs = _score_one(scorer0, idx)
+            except Exception as e:
+                errors.append(e)
+                break
+            for out in outs:
+                results[out.video_id] = out
+                if progress:
+                    print(f"scored {out.video_id} "
+                          f"({len(results)}/{len(indices)})", flush=True)
+            # a zero-tick video scores no chunk and leaves the export unset:
+            # keep going until a real chunk has calibrated
+            shared_export["tree"] = scorer0.export_quantized()
+
+    threads = [threading.Thread(target=worker,
+                                args=(d, scorer0 if i == 0 else None))
+               for i, d in enumerate(devices)]
     for t in threads:
         t.start()
     for t in threads:

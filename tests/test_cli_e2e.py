@@ -123,6 +123,26 @@ def test_binary_train_and_test_and_tag(workdir, monkeypatch):
         vscores = pickle.load(f)
     assert len(vscores) == 3 and len(bscores) == 2
 
+    # multi-device fan-out (the reference's round-robin --gpus worker pool,
+    # binary_test.py:98-167): scores must be IDENTICAL to a single-device
+    # run — videos are independent and every device runs the same committed
+    # weights
+    btest(["thumos14", "RGB", "testing", ckpt, "binary_scores_1dev.pkl",
+           "--arch", "TinyConv", "--synthetic_data", "--prop_file_dir",
+           str(workdir), "--frame_interval", "30", "--test_batchsize", "8",
+           "--gpus", "0"])
+    btest(["thumos14", "RGB", "testing", ckpt, "binary_scores_4dev.pkl",
+           "--arch", "TinyConv", "--synthetic_data", "--prop_file_dir",
+           str(workdir), "--frame_interval", "30", "--test_batchsize", "8",
+           "--gpus", "0", "1", "2", "3"])
+    with open("binary_scores_1dev.pkl", "rb") as f:
+        s1 = pickle.load(f)
+    with open("binary_scores_4dev.pkl", "rb") as f:
+        s4 = pickle.load(f)
+    assert set(s1) == set(s4) == set(bscores)
+    for vid in s1:
+        np.testing.assert_array_equal(s1[vid], s4[vid])
+
     # --shared_stem needs the int8-e2e trunk (TinyConv has none): hard error,
     # not a silent fall-through; the BNInception default-on is pinned in
     # tests/test_sharedstem.py (feature layout) + the ssn_test CLI test above
@@ -144,6 +164,8 @@ def test_ssn_test_int8_collects_multivideo_calibration(workdir, monkeypatch):
     captured = {}
 
     class FakeScorer:
+        needs_lazy_calibration = False   # calibration_frames always passed
+
         def __init__(self, model, params, batch_stats, spec, **kw):
             captured["calib"] = kw.get("calibration_frames")
             captured["quantize"] = kw.get("quantize")

@@ -584,3 +584,52 @@ def test_prequantized_scorer_matches_calibrating_scorer(backbone_setup):
                        reg_stats=np.array([[0.0, 0.0], [1.0, 1.0]]),
                        test_crops=1, chunk_frames=4, quantize=False,
                        prequantized=export)
+
+
+def test_lazy_calibration_shared_across_fanout():
+    """score_videos with a LAZY-quantizing factory (no calibration_frames)
+    must produce device-count-independent scores: the first calibration is
+    computed deterministically from the first work item on the main thread
+    and installed into every sibling scorer. Without the sharing, each
+    device would calibrate int8 scales on ITS first chunk (different videos
+    -> different scales -> device-dependent scores)."""
+    import os
+    import tempfile
+
+    from action_detection_tpu.config import SamplingConfig
+    from action_detection_tpu.data.pipeline import SyntheticFrameProvider
+    from action_detection_tpu.data.ssn_dataset import SSNDataset
+    from action_detection_tpu.infer.scorer import ProposalScorer, score_videos
+    from action_detection_tpu.models import SSN
+    from tests.test_datasets import write_proposal_list
+
+    model = SSN(num_class=3, base_model="BNInception", dropout=0.0)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 9, 64, 64, 3)), jnp.ones((1, 2)),
+                           train=False)
+    _, _, spec = get_backbone("BNInception", "RGB")
+
+    def factory(device):
+        s = ProposalScorer(model, variables["params"],
+                           variables.get("batch_stats"), spec,
+                           reg_stats=np.array([[0.0, 0.0], [1.0, 1.0]]),
+                           test_crops=1, chunk_frames=4, quantize="e2e",
+                           device=device)
+        s.input_spec = spec.__class__(64, spec.mean, spec.std, spec.bgr,
+                                      spec.div255)
+        assert s.needs_lazy_calibration
+        return s
+
+    with tempfile.TemporaryDirectory() as d:
+        prop_file = write_proposal_list(os.path.join(d, "p.txt"), n_videos=4)
+        ds = SSNDataset(prop_file, SamplingConfig(), test_interval=60)
+        provider = SyntheticFrameProvider(width=80, height=72)
+
+        res1 = score_videos(factory, ds, provider, devices=jax.devices()[:1])
+        res3 = score_videos(factory, ds, provider, devices=jax.devices()[:3])
+        assert set(res1) == set(res3) and len(res1) == 4
+        for vid in res1:
+            np.testing.assert_array_equal(res1[vid].act_scores,
+                                          res3[vid].act_scores)
+            np.testing.assert_array_equal(res1[vid].comp_scores,
+                                          res3[vid].comp_scores)
