@@ -8,6 +8,9 @@ import pickle
 import numpy as np
 import pytest
 
+# heavy tier: reference-oracle / e2e / real-backbone tests (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 from tests.test_datasets import write_proposal_list
 
 

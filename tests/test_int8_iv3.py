@@ -8,6 +8,9 @@ Caffe ceil-mode pooling, so any spatial size is conv/pool-consistent.
 import numpy as np
 import pytest
 
+# heavy tier: reference-oracle / e2e / real-backbone tests (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -25,6 +25,9 @@ import sys
 import numpy as np
 import pytest
 
+# heavy tier: reference-oracle / e2e / real-backbone tests (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 REFERENCE = "/root/reference"
 K = 20          # thumos14 num_class (reference data/dataset_cfg.yaml:4)
 NMS_TH = 0.2

@@ -23,6 +23,9 @@ import types
 
 import numpy as np
 import pytest
+
+# heavy tier: reference-oracle / e2e / real-backbone tests (see pytest.ini)
+pytestmark = pytest.mark.slow
 import torch
 
 REFERENCE = "/root/reference"

@@ -13,6 +13,9 @@ OIHW->HWIO conversion.
 import numpy as np
 import pytest
 
+# heavy tier: reference-oracle / e2e / real-backbone tests (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 import jax

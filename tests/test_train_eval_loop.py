@@ -16,6 +16,9 @@ import zlib
 import numpy as np
 import pytest
 
+# heavy tier: reference-oracle / e2e / real-backbone tests (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
