@@ -29,7 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("save_scores", type=str)
     parser.add_argument("--arch", type=str, default="BNInception")
     parser.add_argument("--frame_interval", type=int, default=5)
-    parser.add_argument("--test_batchsize", type=int, default=32)
+    parser.add_argument("--test_batchsize", type=int, default=64,
+                        help="frame ticks per device chunk (64: same "
+                             "measured economics as ssn_test — the dense "
+                             "scoring loop is the same backbone step)")
     parser.add_argument("--max_num", type=int, default=-1)
     parser.add_argument("--test_crops", type=int, default=10)
     parser.add_argument("--flow_pref", type=str, default="")

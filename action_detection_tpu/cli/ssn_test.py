@@ -19,8 +19,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--arch", type=str, default="BNInception")
     parser.add_argument("--save_raw_scores", type=str, default=None)
     parser.add_argument("--frame_interval", type=int, default=6)
-    parser.add_argument("--test_batchsize", type=int, default=32,
-                        help="frame ticks per device chunk")
+    parser.add_argument("--test_batchsize", type=int, default=64,
+                        help="frame ticks per device chunk (default 64 — "
+                             "measured 39.7 vs 57.3 us/img at 64- vs "
+                             "32-tick chunks on one v5e: the shared-stem's "
+                             "fixed per-chunk cost amortizes better at 64; "
+                             "bench.py tick32_*/tick64_* extras)")
     parser.add_argument("--no_regression", action="store_true", default=False)
     parser.add_argument("--max_num", type=int, default=-1)
     parser.add_argument("--test_crops", type=int, default=10)

@@ -30,10 +30,26 @@ remote execution, see DESIGN.md "measurement methodology"):
    measured per-video AND cross-video packed (--pack), so the pack
    decision is a recorded number.
 
-Baseline (vs_baseline denominator): 3500 images/sec — an A100-era estimate
-for torch BNInception fp16 inference at large batch (BNInception is
-~2 GFLOPs/image; the reference publishes no throughput numbers, only
-sec/video).
+5. Per-family extras (VERDICT r3 item 3): the same deployed-default step
+   for the OTHER published backbone/modality families — InceptionV3 RGB
+   299^2 and BNInception Flow (new_length=5, 10-channel stacks) — with
+   FLOPs-derived baselines (see "baselines" below and BASELINE.md).
+6. 32-tick extra: the headline arm at ssn_test's --test_batchsize default
+   chunk, so the CLI default and the benched chunk are reconciled with a
+   current number (VERDICT r3 item 7).
+7. Training extra: the real jitted train step (fwd + 3 losses + bwd +
+   5-group SGD) at the THUMOS14 recipe batch (16 videos x 8 props x 9 segs
+   = 1,152 images), device-resident, hard-synced (VERDICT r3 item 6).
+
+Baselines (vs_baseline denominators): 3500 images/sec — an A100-era
+estimate for torch BNInception fp16 inference at large batch (BNInception
+is ~2.0 GMACs/image @224^2; the reference publishes no throughput numbers,
+only sec/video). The other families scale that SAME estimate by compute
+per image (identical effective-FLOPs assumption, BASELINE.md):
+  * InceptionV3 @299^2: ~5.7 GMACs/img -> 3500 * 2.0/5.7 = 1228 img/s
+  * BNInception Flow: conv1 takes 10 channels instead of 3
+    (+7*7*64*112^2*7 = 0.275 GMACs) -> 3500 * 2.0/2.275 = 3077 stacks/s
+  * training: fwd+bwd ~= 3x fwd FLOPs -> 3500/3 = 1167 train img/s
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -46,12 +62,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 A100_ERA_BASELINE_IMG_PER_SEC = 3500.0
+IV3_BASELINE_IMG_PER_SEC = 3500.0 * 2.0 / 5.7          # 1228
+FLOW_BASELINE_STACKS_PER_SEC = 3500.0 * 2.0 / 2.275    # 3077
+TRAIN_BASELINE_IMG_PER_SEC = 3500.0 / 3.0              # 1167
 
 CROPS = 10
 TICKS_PER_CHUNK = 64          # frame ticks scored per device step
 IMAGES_PER_STEP = CROPS * TICKS_PER_CHUNK
 WARMUP_STEPS = 3
 MEASURE_STEPS = 30
+FAMILY_MEASURE_STEPS = 12     # extras: enough for a stable min, less wall
 PROPOSALS = 128               # pooled per chunk-window
 SCALE_W, SCALE_H = 340, 256   # scale-size frame shipped per tick (THUMOS-ish)
 
@@ -163,57 +183,68 @@ def main():
     scorer = make_scorer("e2e")
     log(f"int8-e2e calibration+quantization: {time.time() - t0:.1f}s")
     scorer_bf16 = make_scorer(False)
-    ticks = jax.device_put(np.stack([
-        np.sort(rng.randint(0, TICKS_PER_CHUNK + 1, size=4))
-        for _ in range(PROPOSALS)]).astype(np.int64))
-    scaling = jax.device_put(rng.rand(PROPOSALS, 2).astype(np.float32))
-    num_frames = jnp.asarray(TICKS_PER_CHUNK, jnp.int32)
 
-    def step(sc, frames):
-        scores = sc._score_chunk(frames, n_stacks=TICKS_PER_CHUNK)
-        return sc._pool(scores, ticks, scaling, num_frames)
+    def make_pool_args(n_ticks):
+        ticks = jax.device_put(np.stack([
+            np.sort(rng.randint(0, n_ticks + 1, size=4))
+            for _ in range(PROPOSALS)]).astype(np.int64))
+        scaling = jax.device_put(rng.rand(PROPOSALS, 2).astype(np.float32))
+        return ticks, scaling, jnp.asarray(n_ticks, jnp.int32)
+
+    ticks, scaling, num_frames = make_pool_args(TICKS_PER_CHUNK)
+
+    def make_step(sc, n_ticks=TICKS_PER_CHUNK, pool_args=None):
+        p_ticks, p_scaling, p_nf = pool_args or (ticks, scaling, num_frames)
+
+        def step(frames):
+            scores = sc._score_chunk(frames, n_stacks=n_ticks)
+            return sc._pool(scores, p_ticks, p_scaling, p_nf)
+
+        return step
 
     def hard_sync(result):
         # on the axon plugin block_until_ready does not reliably await remote
         # EXECUTION (only transfers); a host scalar fetch is the hard sync
         return float(result[0][0, 0])
 
-    def measure(sc, make_input, n_steps):
+    def measure(step, make_input, n_steps):
         for _ in range(WARMUP_STEPS):
-            step(sc, make_input())
-        hard_sync(step(sc, make_input()))
+            step(make_input())
+        hard_sync(step(make_input()))
         t0 = time.time()
         out = None
         for _ in range(n_steps):
-            out = step(sc, make_input())
+            out = step(make_input())
         hard_sync(out)
         return (time.time() - t0) / n_steps
 
-    def measure_resident(sc, tag):
+    def measure_resident(step, chunk, tag, images_per_step=IMAGES_PER_STEP,
+                         n_steps=MEASURE_STEPS):
         # First execution of a large program on this stack includes
         # server-side finalization: measured anywhere from ~20s to ~850s for
         # the identical program (no cross-process cache). Be patient once.
         t0 = time.time()
-        hard_sync(step(sc, dev_chunk))
+        hard_sync(step(chunk))
         log(f"[{tag}] compile+first-run: {time.time() - t0:.1f}s")
-        exec_s = measure(sc, lambda: dev_chunk, MEASURE_STEPS)
+        exec_s = measure(step, lambda: chunk, n_steps)
         # the remote compile service can return a poorly-optimized
         # executable; re-roll once through a cleared cache if implausibly slow
-        if exec_s > 0.15:
+        if exec_s > 0.15 * images_per_step / IMAGES_PER_STEP:
             log(f"[{tag}] exec {exec_s*1e3:.0f} ms/step implausible — "
                 f"recompiling once")
             jax.clear_caches()
             t0 = time.time()
-            hard_sync(step(sc, dev_chunk))
+            hard_sync(step(chunk))
             log(f"[{tag}] recompile+run: {time.time() - t0:.1f}s")
-            exec_s = min(exec_s, measure(sc, lambda: dev_chunk, MEASURE_STEPS))
+            exec_s = min(exec_s, measure(step, lambda: chunk, n_steps))
         log(f"[{tag}] device-resident: {exec_s*1e3:.1f} ms/step hard-synced "
-            f"= {IMAGES_PER_STEP/exec_s:.0f} img/s")
+            f"= {images_per_step/exec_s:.0f} img/s")
         return exec_s
 
     dev_chunk = ship()
     # 1a. extra: per-crop int8-e2e (`ssn_test --no_shared_stem`)
-    percrop_exec_s = measure_resident(scorer, "int8-e2e-percrop")
+    percrop_exec_s = measure_resident(make_step(scorer), dev_chunk,
+                                      "int8-e2e-percrop")
     # 1b. headline: int8-e2e + shared-stem 10-crop scoring — ssn_test's
     # default for BNInception (stem per frame+flip instead of per crop, crop
     # windows sliced on the stride-8 feature grid; accuracy bounded in
@@ -224,7 +255,8 @@ def main():
     try:
         scorer_shared = make_scorer("e2e", shared_stem=True,
                                     prequantized=scorer.export_quantized())
-        exec_s = measure_resident(scorer_shared, "int8-e2e+sharedstem")
+        exec_s = measure_resident(make_step(scorer_shared), dev_chunk,
+                                  "int8-e2e+sharedstem")
         mode = ("int8-e2e + shared-stem (ssn_test default for BNInception; "
                 "detection-delta bounded in tests/test_int8.py + "
                 "tests/test_sharedstem.py)")
@@ -235,12 +267,12 @@ def main():
         mode = ("int8-e2e per-crop (shared-stem arm failed this run; "
                 "detection-delta bounded in tests/test_int8.py)")
     # 2. extra: unquantized bf16 (--no_int8)
-    bf16_exec_s = measure_resident(scorer_bf16, "bf16")
+    bf16_exec_s = measure_resident(make_step(scorer_bf16), dev_chunk, "bf16")
 
     # 3. extra: per-step host ship included (tunnel-channel dependent here);
     # measured on the default (shared-stem) path when it built
     scorer_default = scorer_shared if scorer_shared is not None else scorer
-    ship_s = measure(scorer_default, ship, MEASURE_STEPS)
+    ship_s = measure(make_step(scorer_default), ship, MEASURE_STEPS)
     post_ship_ms = ship_probe_ms()
     log(f"with per-step 16.7MB ship: {ship_s*1e3:.1f} ms/step hard-synced "
         f"= {IMAGES_PER_STEP/ship_s:.0f} img/s "
@@ -289,6 +321,144 @@ def main():
             f"sec/video ({(best_dt - best_pack) / best_dt * 100:+.1f}% vs "
             f"per-video)")
 
+    extras = {}
+
+    # 5. per-family extras: the deployed default (int8-e2e + shared-stem)
+    # for InceptionV3 RGB and BNInception Flow — the other two families the
+    # published mAP rows rest on. Each is measured in this same process with
+    # its own baseline denominator (module docstring + BASELINE.md).
+    def bench_family(arch, modality, key, baseline, unit):
+        famK = 20
+        fmodel = SSN(num_class=famK, base_model=arch, modality=modality,
+                     dropout=0.0, dtype=jnp.bfloat16)
+        _, _, fspec = get_backbone(arch, modality, dtype=jnp.bfloat16)
+        C = 3 if modality == "RGB" else 2 * fmodel.resolved_new_length
+        t0 = time.time()
+        fvars = jitted_init(fmodel, {"params": jax.random.PRNGKey(0)},
+                            jnp.zeros((1, 9, fspec.input_size,
+                                       fspec.input_size, C), jnp.float32),
+                            jnp.ones((1, 2)), train=False)
+        log(f"[{key}] init: {time.time() - t0:.1f}s")
+        H_s = fspec.scale_size
+        W_s = int(H_s * 455 / 341)       # THUMOS-ish aspect, short side scaled
+        fchunk = rng.randint(0, 256, (TICKS_PER_CHUNK, H_s, W_s, C),
+                             dtype=np.uint8)
+        t0 = time.time()
+        fsc = ProposalScorer(fmodel, fvars["params"],
+                             fvars.get("batch_stats"), fspec,
+                             reg_stats=reg_stats, num_class=famK,
+                             test_crops=CROPS, chunk_frames=TICKS_PER_CHUNK,
+                             modality=modality, device_crops=True,
+                             quantize="e2e", calibration_frames=fchunk[:8],
+                             shared_stem=True)
+        log(f"[{key}] calibration+quantization: {time.time() - t0:.1f}s")
+        fdev = jax.device_put(fchunk, device)
+        fexec_s = measure_resident(make_step(fsc), fdev, key,
+                                   n_steps=FAMILY_MEASURE_STEPS)
+        fsc.close()
+        rate = IMAGES_PER_STEP / fexec_s
+        return {f"{key}_{unit}": round(rate, 2),
+                f"{key}_exec_ms_per_step": round(fexec_s * 1e3, 2),
+                f"{key}_vs_baseline": round(rate / baseline, 3),
+                f"{key}_baseline_{unit}": round(baseline, 1)}
+
+    for arch, modality, key, baseline, unit in (
+            ("InceptionV3", "RGB", "iv3", IV3_BASELINE_IMG_PER_SEC,
+             "images_per_sec"),
+            ("BNInception", "Flow", "flow", FLOW_BASELINE_STACKS_PER_SEC,
+             "stacks_per_sec")):
+        try:
+            extras.update(bench_family(arch, modality, key, baseline, unit))
+        except Exception as e:
+            log(f"[{key}] FAILED: {e}")
+            extras[f"{key}_error"] = str(e)[:200]
+
+    # 6. the headline arm at the CLI default chunk (--test_batchsize):
+    # reconciles the benched chunk with the deployed default with a current
+    # number (r1 measured 72.2 vs 66.5 us/img at 32 vs 64 ticks)
+    try:
+        tick32 = 32
+        sc32 = ProposalScorer(model, variables["params"],
+                              variables.get("batch_stats"), spec,
+                              reg_stats=reg_stats, num_class=K,
+                              test_crops=CROPS, chunk_frames=tick32,
+                              device_crops=True, quantize="e2e",
+                              shared_stem=scorer_shared is not None,
+                              prequantized=scorer.export_quantized())
+        chunk32 = jax.device_put(host_chunk[:tick32], device)
+        exec32_s = measure_resident(
+            make_step(sc32, n_ticks=tick32, pool_args=make_pool_args(tick32)),
+            chunk32, "tick32", images_per_step=CROPS * tick32,
+            n_steps=FAMILY_MEASURE_STEPS)
+        sc32.close()
+        extras["tick32_images_per_sec"] = round(CROPS * tick32 / exec32_s, 2)
+        extras["tick32_exec_ms_per_step"] = round(exec32_s * 1e3, 2)
+        extras["tick32_us_per_image"] = round(exec32_s / (CROPS * tick32)
+                                              * 1e6, 2)
+        extras["tick64_us_per_image"] = round(exec_s / IMAGES_PER_STEP
+                                              * 1e6, 2)
+    except Exception as e:
+        log(f"[tick32] FAILED: {e}")
+        extras["tick32_error"] = str(e)[:200]
+
+    # 7. training: the real jitted train step at the THUMOS14 recipe batch
+    # (16 videos x 8 props x 9 segs = 1,152 images @224^2, bf16 backbone),
+    # device-resident, hard-synced via the loss fetch
+    try:
+        from action_detection_tpu.config import SamplingConfig
+        from action_detection_tpu.train import (create_train_state,
+                                                make_optimizer,
+                                                make_train_step)
+
+        sampling = SamplingConfig()
+        tmodel = SSN(num_class=K, base_model="BNInception", dropout=0.8,
+                     dtype=jnp.bfloat16)
+        B, P, S, Himg = 16, sampling.prop_per_video, 9, spec.input_size
+        n_img = B * P * S
+        tbatch = {
+            "frames": rng.randint(0, 256, size=(B * P, S, Himg, Himg, 3),
+                                  dtype=np.uint8),
+            "scaling": rng.rand(B * P, 2).astype(np.float32),
+            "labels": np.tile([1] + [2] * 6 + [0], B).astype(np.int64),
+            "reg_targets": rng.randn(B * P, 2).astype(np.float32),
+            "prop_type": np.tile([0] + [1] * 6 + [2], B).astype(np.int64),
+        }
+        tx = make_optimizer(base_lr=0.001, lr_steps=[20, 40],
+                            steps_per_epoch=125, iter_size=1)
+        t0 = time.time()
+        tstate = create_train_state(tmodel, tx, tbatch, spec)
+        log(f"[train] init: {time.time() - t0:.1f}s")
+        train_step = make_train_step(tmodel, tx, sampling, spec, donate=True)
+        key = jax.random.PRNGKey(0)
+        dev_batch = jax.device_put(tbatch)
+        t0 = time.time()
+        tstate, m = train_step(tstate, dev_batch, key)
+        log(f"[train] compile+first-step: {time.time() - t0:.1f}s "
+            f"loss={float(m['loss']):.4f}")
+        for _ in range(2):
+            tstate, m = train_step(tstate, dev_batch, key)
+        float(m["loss"])
+        t0 = time.time()
+        n_train_steps = 8
+        for _ in range(n_train_steps):
+            tstate, m = train_step(tstate, dev_batch, key)
+        float(m["loss"])                 # hard sync
+        train_step_s = (time.time() - t0) / n_train_steps
+        train_img_s = n_img / train_step_s
+        # THUMOS14: 125 steps/epoch x 45 epochs
+        wall_h = 125 * 45 * train_step_s / 3600
+        log(f"[train] {train_step_s:.3f} s/step device-resident = "
+            f"{train_img_s:.0f} train img/s ({wall_h:.2f} h / 45-epoch "
+            f"THUMOS14 on one chip)")
+        extras["train_step_sec"] = round(train_step_s, 4)
+        extras["train_images_per_sec"] = round(train_img_s, 1)
+        extras["train_vs_baseline"] = round(
+            train_img_s / TRAIN_BASELINE_IMG_PER_SEC, 3)
+        extras["train_thumos14_45ep_hours"] = round(wall_h, 2)
+    except Exception as e:
+        log(f"[train] FAILED: {e}")
+        extras["train_error"] = str(e)[:200]
+
     print(json.dumps({
         "metric": "ssn_scorer_images_per_sec",
         "value": round(images_per_sec, 2),
@@ -306,6 +476,7 @@ def main():
         "e2e_sec_per_video": round(sec_per_video, 3),
         "e2e_images_per_sec": round(e2e_images_per_sec, 2),
         "e2e_sec_per_video_packed": round(pack_sec_per_video, 3),
+        **extras,
     }))
 
 

@@ -636,3 +636,16 @@ def test_lazy_calibration_shared_across_fanout():
                                           res3[vid].act_scores)
             np.testing.assert_array_equal(res1[vid].comp_scores,
                                           res3[vid].comp_scores)
+
+        # pack mode: work items are video GROUPS — the main-thread election
+        # must handle them too, with the same device-count invariance
+        # (pack's first calibrating chunk mixes videos, so it is compared
+        # against pack itself, not the per-video runs)
+        resp1 = score_videos(factory, ds, provider,
+                             devices=jax.devices()[:1], pack=True)
+        resp2 = score_videos(factory, ds, provider,
+                             devices=jax.devices()[:2], pack=True)
+        assert set(resp1) == set(resp2) == set(res1)
+        for vid in resp1:
+            np.testing.assert_array_equal(resp1[vid].act_scores,
+                                          resp2[vid].act_scores)
