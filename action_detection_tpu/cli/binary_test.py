@@ -397,13 +397,12 @@ def main(argv=None):
             t.start()
         for t in threads:
             t.join()
+    if decode_pool is not None:
+        decode_pool.shutdown(wait=False)
     if errors:
         # unlike the reference's daemon workers (a crash silently hangs the
         # result loop), failures surface to the caller
         raise errors[0]
-
-    if decode_pool is not None:
-        decode_pool.shutdown(wait=False)
     with open(args.save_scores, "wb") as f:
         pickle.dump(results, f, pickle.HIGHEST_PROTOCOL)
     print(f"scores saved to {args.save_scores}")

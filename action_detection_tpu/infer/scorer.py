@@ -705,8 +705,16 @@ def score_videos(scorer_factory, dataset: SSNDataset, provider,
                 return
             try:
                 if scorer.needs_lazy_calibration:
+                    # adopt a published export without holding the lock
+                    # through scoring (that would serialize every worker's
+                    # first video behind one scorer)
                     with calib_lock:
                         if shared_export["tree"] is not None:
+                            scorer.install_prequantized(shared_export["tree"])
+                if scorer.needs_lazy_calibration:
+                    with calib_lock:
+                        if shared_export["tree"] is not None:
+                            # a competitor published while we waited
                             scorer.install_prequantized(shared_export["tree"])
                             outs = _score_one(scorer, idx)
                         else:
