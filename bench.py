@@ -34,9 +34,9 @@ remote execution, see DESIGN.md "measurement methodology"):
    for the OTHER published backbone/modality families — InceptionV3 RGB
    299^2 and BNInception Flow (new_length=5, 10-channel stacks) — with
    FLOPs-derived baselines (see "baselines" below and BASELINE.md).
-6. 32-tick extra: the headline arm at ssn_test's --test_batchsize default
-   chunk, so the CLI default and the benched chunk are reconciled with a
-   current number (VERDICT r3 item 7).
+6. 32-tick extra: the headline arm at the r3-era 32-tick CLI default, so
+   the 64-tick default (adopted r4 on these numbers: 39.7 vs 57.3 us/img)
+   keeps its measured basis in every artifact (VERDICT r3 item 7).
 7. Training extra: the real jitted train step (fwd + 3 losses + bwd +
    5-group SGD) at the THUMOS14 recipe batch (16 videos x 8 props x 9 segs
    = 1,152 images), device-resident, hard-synced (VERDICT r3 item 6).
