@@ -117,17 +117,22 @@ def _walk_stem(ops, x):
     return ops.max_pool(x, 3, 2, ceil=True)
 
 
+def _entry_names(name: str, c1) -> list:
+    """A module's branch-ENTRY convs: the 1x1s that all consume the module
+    input (same tensor, same input scales) — fusible into one conv."""
+    return (([f"{name}_1x1"] if c1 is not None else [])
+            + [f"{name}_3x3_reduce", f"{name}_double_3x3_reduce"])
+
+
 def _walk_trunk(ops, x):
     for (name, c1, _c3r, _c3, _d3r, _d31, _d32, _proj, pool, stride) \
             in _INCEPTION_CFG:
-        branches = []
-        if c1 is not None:
-            branches.append(ops.conv(x, f"{name}_1x1"))
-        b3 = ops.conv(x, f"{name}_3x3_reduce")
-        b3 = ops.conv(b3, f"{name}_3x3", stride=stride, pad=1)
+        heads = ops.entry(x, name, _entry_names(name, c1))
+        branches = list(heads[:1]) if c1 is not None else []
+        i = 1 if c1 is not None else 0
+        b3 = ops.conv(heads[i], f"{name}_3x3", stride=stride, pad=1)
         branches.append(b3)
-        bd = ops.conv(x, f"{name}_double_3x3_reduce")
-        bd = ops.conv(bd, f"{name}_double_3x3_1", pad=1)
+        bd = ops.conv(heads[i + 1], f"{name}_double_3x3_1", pad=1)
         bd = ops.conv(bd, f"{name}_double_3x3_2", stride=stride, pad=1)
         branches.append(bd)
         if stride == 1:
@@ -141,7 +146,18 @@ def _walk_trunk(ops, x):
     return x
 
 
-class _PerLayerOps:
+class _EntryDefault:
+    """Default branch-entry behavior: the entry convs run separately.
+
+    The e2e runtime face overrides this with ONE fused conv per module (see
+    ``_E2EOps.entry``); the calibration/scale faces keep per-conv walks so
+    every conv still gets its own recorded max / qe entry."""
+
+    def entry(self, x, module, names):
+        return [self.conv(x, n) for n in names]
+
+
+class _PerLayerOps(_EntryDefault):
     """bf16 activations, per-layer int8 convs.
 
     Runtime face (optionally with static ``act_scales``) and both traced
@@ -297,10 +313,31 @@ def quantize_backbone_e2e(params: dict, batch_stats: dict,
 
     qe["__input_scale__"] = jnp.asarray(s["input"], jnp.float32)
     qe["__feat_scale__"] = jnp.asarray(sx, jnp.float32)
+    qe["__entry__"] = _fuse_entry_convs(qe, (
+        (name, _entry_names(name, c1))
+        for (name, c1, *_r) in _INCEPTION_CFG))
     return qe
 
 
-class _ScaleOps:
+def _fuse_entry_convs(qe: QuantizedParams, groups) -> Dict[str, dict]:
+    """Concat each module's entry-conv tensors along the output-channel axis.
+
+    Exact by construction: the entry convs share the input (hence the same
+    folded input scales), accumulate in s32, and the requantizing epilogue is
+    already per output channel — so conv+split is bit-identical to the
+    separate convs. The runtime face uses these when present
+    (``_E2EOps.entry``); split points are recomputed from the per-conv
+    ``wq`` shapes, so the fused tree carries only arrays (device_put-safe)."""
+    return {
+        module: {
+            "wq": jnp.concatenate([qe[n]["wq"] for n in names], axis=3),
+            "m": jnp.concatenate([qe[n]["m"] for n in names]),
+            "bq": jnp.concatenate([qe[n]["bq"] for n in names]),
+        }
+        for module, names in groups}
+
+
+class _ScaleOps(_EntryDefault):
     """Host scale algebra: 'tensors' are per-channel activation scale vectors.
 
     ``conv`` absorbs its input scales into the weights, int8-quantizes them
@@ -341,7 +378,7 @@ class _ScaleOps:
         return np.concatenate([np.atleast_1d(p) for p in parts])
 
 
-class _E2EOps:
+class _E2EOps(_EntryDefault):
     """int8 activations end-to-end (the deployed runtime face)."""
 
     def __init__(self, qe: QuantizedParams):
@@ -349,6 +386,23 @@ class _E2EOps:
 
     def conv(self, xq, name, stride=1, pad=0):
         return _conv_i8_e2e(xq, self.qe[name], stride=stride, pad=pad)
+
+    def entry(self, xq, module, names):
+        # Branch-entry fusion: the module's entry 1x1s share the input AND
+        # its per-channel scale folding, and the epilogue is per-output-
+        # channel, so one conv over the concatenated weights is BIT-IDENTICAL
+        # to the separate convs (s32 accumulation is exact) while tiling the
+        # MXU with 192..736-wide outputs instead of 64..352 and reading the
+        # module input once instead of 3x. Measured 26.6 -> 24.8 ms on the
+        # headline shared-stem step (scripts/entryfuse_probe.py; the
+        # no-concat escalation measured there lost 1.7x and was rejected).
+        fz = self.qe.get("__entry__")
+        if fz is None or module not in fz:
+            return super().entry(xq, module, names)
+        y = _conv_i8_e2e(xq, fz[module])
+        splits = np.cumsum(
+            [int(self.qe[n]["wq"].shape[3]) for n in names])[:-1]
+        return jnp.split(y, splits, axis=-1)
 
     def max_pool(self, x, kernel, stride, ceil=False, pad=0):
         return _max_pool_i8(x, kernel, stride, ceil=ceil, pad=pad)

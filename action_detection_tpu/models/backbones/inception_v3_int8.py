@@ -90,13 +90,27 @@ def _walk_stem(ops, x):
     return ops.max_pool(x)
 
 
+def _entry_names(name: str) -> list:
+    """A Mixed module's branch-ENTRY convs: the 1x1 stride-1 convs that all
+    consume the module input (same tensor, same input scales) — fusible into
+    one conv.  Mixed_6a has none (its entries differ in kernel/stride)."""
+    if name.startswith(("Mixed_5",)):
+        return [f"{name}/branch1x1", f"{name}/branch5x5_1",
+                f"{name}/branch3x3dbl_1"]
+    if name == "Mixed_7a":
+        return [f"{name}/branch3x3_1", f"{name}/branch7x7x3_1"]
+    if name.startswith("Mixed_7"):
+        return [f"{name}/branch1x1", f"{name}/branch3x3_1",
+                f"{name}/branch3x3dbl_1"]
+    return [f"{name}/branch1x1", f"{name}/branch7x7_1",
+            f"{name}/branch7x7dbl_1"]
+
+
 def _walk_trunk(ops, x):
     """IV3 Mixed modules (inception_v3.py:185-207): (35x35, 192) -> features."""
     for name in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):     # 35x35 modules
-        b0 = ops.conv(x, f"{name}/branch1x1")
-        b1 = ops.conv(x, f"{name}/branch5x5_1")
+        b0, b1, b2 = ops.entry(x, name, _entry_names(name))
         b1 = ops.conv(b1, f"{name}/branch5x5_2", pad=((2, 2), (2, 2)))
-        b2 = ops.conv(x, f"{name}/branch3x3dbl_1")
         b2 = ops.conv(b2, f"{name}/branch3x3dbl_2", pad=_SAME3)
         b2 = ops.conv(b2, f"{name}/branch3x3dbl_3", pad=_SAME3)
         b3 = ops.conv(ops.avg_pool_same(x), f"{name}/branch_pool")
@@ -109,11 +123,9 @@ def _walk_trunk(ops, x):
     x = ops.concat([b0, b1, ops.max_pool(x)])
 
     for name in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
-        b0 = ops.conv(x, f"{name}/branch1x1")             # factorized 7x7
-        b1 = ops.conv(x, f"{name}/branch7x7_1")
+        b0, b1, b2 = ops.entry(x, name, _entry_names(name))
         b1 = ops.conv(b1, f"{name}/branch7x7_2", pad=((0, 0), (3, 3)))
         b1 = ops.conv(b1, f"{name}/branch7x7_3", pad=((3, 3), (0, 0)))
-        b2 = ops.conv(x, f"{name}/branch7x7dbl_1")
         b2 = ops.conv(b2, f"{name}/branch7x7dbl_2", pad=((3, 3), (0, 0)))
         b2 = ops.conv(b2, f"{name}/branch7x7dbl_3", pad=((0, 0), (3, 3)))
         b2 = ops.conv(b2, f"{name}/branch7x7dbl_4", pad=((3, 3), (0, 0)))
@@ -121,21 +133,18 @@ def _walk_trunk(ops, x):
         b3 = ops.conv(ops.avg_pool_same(x), f"{name}/branch_pool")
         x = ops.concat([b0, b1, b2, b3])
 
-    b0 = ops.conv(x, "Mixed_7a/branch3x3_1")              # 8x8 downsample
-    b0 = ops.conv(b0, "Mixed_7a/branch3x3_2", stride=2)
-    b1 = ops.conv(x, "Mixed_7a/branch7x7x3_1")
+    b0, b1 = ops.entry(x, "Mixed_7a", _entry_names("Mixed_7a"))
+    b0 = ops.conv(b0, "Mixed_7a/branch3x3_2", stride=2)   # 8x8 downsample
     b1 = ops.conv(b1, "Mixed_7a/branch7x7x3_2", pad=((0, 0), (3, 3)))
     b1 = ops.conv(b1, "Mixed_7a/branch7x7x3_3", pad=((3, 3), (0, 0)))
     b1 = ops.conv(b1, "Mixed_7a/branch7x7x3_4", stride=2)
     x = ops.concat([b0, b1, ops.max_pool(x)])
 
     for name in ("Mixed_7b", "Mixed_7c"):                 # 8x8 expanded
-        b0 = ops.conv(x, f"{name}/branch1x1")
-        b1 = ops.conv(x, f"{name}/branch3x3_1")
+        b0, b1, b2 = ops.entry(x, name, _entry_names(name))
         b1a = ops.conv(b1, f"{name}/branch3x3_2a", pad=((0, 0), (1, 1)))
         b1b = ops.conv(b1, f"{name}/branch3x3_2b", pad=((1, 1), (0, 0)))
         b1 = ops.concat([b1a, b1b])                       # nested concat
-        b2 = ops.conv(x, f"{name}/branch3x3dbl_1")
         b2 = ops.conv(b2, f"{name}/branch3x3dbl_2", pad=_SAME3)
         b2a = ops.conv(b2, f"{name}/branch3x3dbl_3a", pad=((0, 0), (1, 1)))
         b2b = ops.conv(b2, f"{name}/branch3x3dbl_3b", pad=((1, 1), (0, 0)))
@@ -146,6 +155,11 @@ def _walk_trunk(ops, x):
     return ops.finish(x)
 
 
+_ENTRY_MODULES = ("Mixed_5b", "Mixed_5c", "Mixed_5d",
+                  "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e",
+                  "Mixed_7a", "Mixed_7b", "Mixed_7c")
+
+
 def _walk(ops, x):
     """The full IV3 topology, over an ops interface."""
     return _walk_trunk(ops, _walk_stem(ops, x))
@@ -154,7 +168,16 @@ def _walk(ops, x):
 # --------------------------- calibration face ------------------------------
 
 
-class _CalibOps:
+class _EntryDefault:
+    """Default branch-entry behavior: the entry convs run separately (the
+    runtime face fuses them — see ``_ForwardOps.entry``; same design as
+    bn_inception_int8._EntryDefault)."""
+
+    def entry(self, x, module, names):
+        return [self.conv(x, n) for n in names]
+
+
+class _CalibOps(_EntryDefault):
     """Float forward with folded weights, recording post-ReLU output maxes."""
 
     def __init__(self, folded):
@@ -202,7 +225,7 @@ def _same_pool_counts(H, W, dtype):
 # --------------------------- quantization face -----------------------------
 
 
-class _ScaleOps:
+class _ScaleOps(_EntryDefault):
     """Host numpy scale algebra: a 'tensor' is a per-channel scale vector."""
 
     def __init__(self, folded, scales, out: QuantizedParams):
@@ -244,14 +267,25 @@ class _ScaleOps:
 # --------------------------- runtime face ----------------------------------
 
 
-class _ForwardOps:
+class _ForwardOps(_EntryDefault):
     """The int8 runtime: int8 tensors, fused requantizing conv epilogues."""
 
     def __init__(self, qe):
         self.qe = qe
 
-    def conv(self, xq, name, stride=1, pad=_NOPAD):
-        layer = self.qe[name]
+    def entry(self, xq, module, names):
+        # Branch-entry fusion, bit-identical by construction (shared input
+        # scales, s32 accumulation, per-output-channel epilogue) — see
+        # bn_inception_int8._E2EOps.entry for the measured rationale.
+        fz = self.qe.get("__entry__")
+        if fz is None or module not in fz:
+            return super().entry(xq, module, names)
+        y = self._conv_layer(xq, fz[module], 1, _NOPAD)
+        splits = np.cumsum(
+            [int(self.qe[n]["wq"].shape[3]) for n in names])[:-1]
+        return jnp.split(y, splits, axis=-1)
+
+    def _conv_layer(self, xq, layer, stride, pad):
         y = jax.lax.conv_general_dilated(
             xq, layer["wq"], (stride, stride), pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -259,6 +293,9 @@ class _ForwardOps:
         out = y.astype(jnp.float32) * layer["m"] + layer["bq"]
         return jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0) \
             .astype(jnp.int8)
+
+    def conv(self, xq, name, stride=1, pad=_NOPAD):
+        return self._conv_layer(xq, self.qe[name], stride, pad)
 
     def max_pool(self, x):
         return jax.lax.reduce_window(x, jnp.int8(-128), jax.lax.max,
@@ -345,6 +382,16 @@ def calibrate_e2e_iv3(params: dict, batch_stats: dict,
         # input channel count from the stem conv's kernel (3 RGB / 10 Flow)
         cin = folded["Conv2d_1a_3x3"]["kernel"].shape[2]
         _walk(_ScaleOps(folded, scales, qe), np.full(cin, scales["input"]))
+    qe["__entry__"] = {
+        module: {
+            "wq": jnp.concatenate(
+                [qe[n]["wq"] for n in _entry_names(module)], axis=3),
+            "m": jnp.concatenate(
+                [qe[n]["m"] for n in _entry_names(module)]),
+            "bq": jnp.concatenate(
+                [qe[n]["bq"] for n in _entry_names(module)]),
+        }
+        for module in _ENTRY_MODULES}
     return qe
 
 

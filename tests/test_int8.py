@@ -133,6 +133,29 @@ def test_int8_e2e_features_close_to_float(backbone_setup):
     assert rel_rms < 0.12, rel_rms
 
 
+def test_entry_fusion_bit_exact(backbone_setup):
+    """The default fused branch-entry path (__entry__) is BIT-identical to
+    running each module's entry 1x1 convs separately: they share the input
+    (hence its per-channel scale folding), accumulate in s32, and the
+    requantizing epilogue is per output channel — so one conv over the
+    concatenated weights followed by a split changes nothing numerically.
+    scripts/entryfuse_probe.py adopted it on this basis (26.6 -> 24.8 ms
+    headline feature step on one v5e; the no-concat escalation lost 1.7x
+    there and was rejected)."""
+    from action_detection_tpu.models.backbones.bn_inception_int8 import (
+        bninception_int8_e2e_features, calibrate_e2e)
+
+    backbone, variables = backbone_setup
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 255.0 - 117.0)
+    qe = calibrate_e2e(variables["params"], variables["batch_stats"], x)
+    assert "__entry__" in qe
+    unfused = {k: v for k, v in qe.items() if k != "__entry__"}
+    fused_feats = np.asarray(bninception_int8_e2e_features(qe, x))
+    plain_feats = np.asarray(bninception_int8_e2e_features(unfused, x))
+    assert np.array_equal(fused_feats, plain_feats)
+
+
 def test_int8_e2e_flow_modality(backbone_setup):
     """ssn_test defaults int8-e2e on for Flow runs too: the quantizer must
     handle the 10-channel Flow conv1 (ssn_models.py:318-343 surgery) and

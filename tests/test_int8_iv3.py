@@ -90,7 +90,8 @@ def test_iv3_int8_e2e_features_close_to_float(iv3_setup):
                            hybrid_stem=False)
     assert qe["__feat_scale__"].shape == (2048,)
     folded = fold_bn_iv3(variables["params"], variables["batch_stats"])
-    assert set(qe) - {"__input_scale__", "__feat_scale__"} == set(folded)
+    assert (set(qe) - {"__input_scale__", "__feat_scale__", "__entry__"}
+            == set(folded))
 
     ref = np.asarray(backbone.apply(variables, x)).astype(np.float64)
     got = np.asarray(inception_v3_int8_e2e_features(qe, x)).astype(np.float64)
@@ -132,6 +133,22 @@ def test_iv3_int8_e2e_hybrid_stem(iv3_setup):
     rel_i8 = float(np.linalg.norm(got_i8 - ref) / (np.linalg.norm(ref) + 1e-9))
     assert rel_h < 0.12, rel_h
     assert rel_h <= rel_i8 * 1.05, (rel_h, rel_i8)
+
+
+def test_iv3_entry_fusion_bit_exact(iv3_setup):
+    """IV3's fused branch-entry path (__entry__: every Mixed module's same-
+    input 1x1 stride-1 entries, incl. Mixed_7a's two; Mixed_6a has none) is
+    bit-identical to the per-conv walk — same exactness argument as
+    tests/test_int8.py::test_entry_fusion_bit_exact."""
+    backbone, variables = iv3_setup
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.rand(2, 95, 95, 3).astype(np.float32) * 255.0 - 117.0)
+    qe = calibrate_e2e_iv3(variables["params"], variables["batch_stats"], x)
+    assert len(qe["__entry__"]) == 10
+    unfused = {k: v for k, v in qe.items() if k != "__entry__"}
+    fused_feats = np.asarray(inception_v3_int8_e2e_features(qe, x))
+    plain_feats = np.asarray(inception_v3_int8_e2e_features(unfused, x))
+    assert np.array_equal(fused_feats, plain_feats)
 
 
 def test_iv3_int8_e2e_odd_dims(iv3_setup):
