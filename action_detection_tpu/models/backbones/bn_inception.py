@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.pooling import max_pool_2d
+
 # (name, out_channels per branch, pool kind, stride)
 # branches: 1x1 | 3x3_reduce->3x3 | double_3x3_reduce->double_3x3_1->double_3x3_2 | pool_proj
 # stride-2 modules drop the 1x1 branch and use an unprojected max pool.
@@ -67,12 +69,14 @@ def stem_feature_hw(size: int) -> int:
 
 def _max_pool(x: jnp.ndarray, kernel: int, stride: int, ceil: bool = False,
               pad: int = 0) -> jnp.ndarray:
+    """Max pool; forward == nn.max_pool, backward = eq-mask custom VJP
+    (ops/pooling.py) — SelectAndScatter was ~32% of the train step."""
     if ceil:
         padding = [_ceil_pool_padding(x.shape[1], kernel, stride),
                    _ceil_pool_padding(x.shape[2], kernel, stride)]
     else:
         padding = [(pad, pad), (pad, pad)]
-    return nn.max_pool(x, (kernel, kernel), strides=(stride, stride), padding=padding)
+    return max_pool_2d(x, kernel, stride, padding)
 
 
 def _avg_pool_include_pad(x: jnp.ndarray, kernel: int, stride: int, pad: int) -> jnp.ndarray:

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.pooling import max_pool_2d
+
 FEATURE_DIM = 2048
 
 
@@ -43,8 +45,8 @@ def _avg_pool_same(x):
 
 
 def _max_pool(x, kernel: int = 3, stride: int = 2):
-    return nn.max_pool(x, (kernel, kernel), strides=(stride, stride),
-                       padding="VALID")
+    # eq-mask backward (ops/pooling.py); forward == nn.max_pool VALID.
+    return max_pool_2d(x, kernel, stride, ((0, 0), (0, 0)))
 
 
 class MixedA(nn.Module):

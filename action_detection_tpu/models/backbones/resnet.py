@@ -14,6 +14,8 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.pooling import max_pool_2d
+
 _STAGES = {
     "resnet18": ("basic", (2, 2, 2, 2)),
     "resnet34": ("basic", (3, 4, 6, 3)),
@@ -106,7 +108,7 @@ class ResNet(nn.Module):
         x = x.astype(d)
         x = _conv(x, 64, 7, "conv1", 2, d)
         x = nn.relu(_bn(x, "bn1", self._bn_train(train, 0), d))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = max_pool_2d(x, 3, 2, ((1, 1), (1, 1)))  # eq-mask bwd
 
         for stage, n_blocks in enumerate(stage_sizes):
             features = 64 * (2 ** stage)

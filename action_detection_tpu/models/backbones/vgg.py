@@ -20,6 +20,8 @@ from typing import Any, Dict, List, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.pooling import max_pool_2d
+
 FEATURE_DIM = 4096
 
 # torchvision configs: A=vgg11, B=vgg13, D=vgg16, E=vgg19
@@ -95,7 +97,7 @@ class VGG(nn.Module):
         bn_idx = 0
         for kind, scope, ch in torch_layer_plan(self.arch):
             if kind == "pool":
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = max_pool_2d(x, 2, 2, ((0, 0), (0, 0)))  # eq-mask bwd
             elif kind == "conv":
                 x = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
                             dtype=d, name=scope)(x)
