@@ -69,8 +69,11 @@ def stem_feature_hw(size: int) -> int:
 
 def _max_pool(x: jnp.ndarray, kernel: int, stride: int, ceil: bool = False,
               pad: int = 0) -> jnp.ndarray:
-    """Max pool; forward == nn.max_pool, backward = eq-mask custom VJP
-    (ops/pooling.py) — SelectAndScatter was ~32% of the train step."""
+    """Max pool; forward == nn.max_pool, backward = plain AD
+    (SelectAndScatter) by default. Routed through ops/pooling.py so the
+    eq-mask VJP lever stays opt-in measurable — it was REJECTED r5 on a
+    measured A/B (321.9 vs 262.7 ms fwd+bwd at the recipe batch; see
+    ops/pooling.py module docstring)."""
     if ceil:
         padding = [_ceil_pool_padding(x.shape[1], kernel, stride),
                    _ceil_pool_padding(x.shape[2], kernel, stride)]

@@ -45,7 +45,8 @@ def _avg_pool_same(x):
 
 
 def _max_pool(x, kernel: int = 3, stride: int = 2):
-    # eq-mask backward (ops/pooling.py); forward == nn.max_pool VALID.
+    # forward == nn.max_pool VALID; backward = plain AD by default (the
+    # eq-mask lever stays opt-in via ops/pooling.py — rejected r5 on A/B).
     return max_pool_2d(x, kernel, stride, ((0, 0), (0, 0)))
 
 

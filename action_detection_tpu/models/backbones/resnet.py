@@ -108,7 +108,7 @@ class ResNet(nn.Module):
         x = x.astype(d)
         x = _conv(x, 64, 7, "conv1", 2, d)
         x = nn.relu(_bn(x, "bn1", self._bn_train(train, 0), d))
-        x = max_pool_2d(x, 3, 2, ((1, 1), (1, 1)))  # eq-mask bwd
+        x = max_pool_2d(x, 3, 2, ((1, 1), (1, 1)))  # plain AD (pooling.py)
 
         for stage, n_blocks in enumerate(stage_sizes):
             features = 64 * (2 ** stage)

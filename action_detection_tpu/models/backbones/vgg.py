@@ -97,7 +97,7 @@ class VGG(nn.Module):
         bn_idx = 0
         for kind, scope, ch in torch_layer_plan(self.arch):
             if kind == "pool":
-                x = max_pool_2d(x, 2, 2, ((0, 0), (0, 0)))  # eq-mask bwd
+                x = max_pool_2d(x, 2, 2, ((0, 0), (0, 0)))  # plain AD (pooling.py)
             elif kind == "conv":
                 x = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
                             dtype=d, name=scope)(x)

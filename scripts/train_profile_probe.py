@@ -6,25 +6,33 @@ r4 refreshed training throughput (0.263 s/step at the 1,152-image recipe
 batch, scripts/train_bench.py) but the step was never decomposed. This probe
 times, at the same recipe shape on one chip (hard-synced host fetch):
 
-  fwd            loss value only (train=True, batch_stats mutable)
-  fwd+bwd        value_and_grad, no optimizer
-  full step      the deployed make_train_step (grads + 5-group SGD update)
-  fwd+bwd -tpool max-pool BACKWARD disabled in the inception trunk only
-                 (stop_gradient around trunk pools; forward identical) —
-                 the timing ceiling of replacing SelectAndScatter there
-  fwd+bwd -pool  max-pool backward disabled everywhere incl. the two stem
-                 pools (112^2 x 64 and 56^2 x 192 at batch 1152 — the
-                 largest scatters in the graph; NOTE this also prunes
-                 conv1's weight-grad path, so it over-counts slightly)
-  fwd+bwd sas    the pre-r4 AD path: plain nn.max_pool everywhere, whose
-                 backward lowers to XLA SelectAndScatter (what fwd+bwd
-                 measured before ops/pooling.py)
+  fwd             loss value only (train=True, batch_stats mutable)
+  fwd+bwd eq-mask value_and_grad with the REJECTED eq-mask VJP opted in on
+                  the stride-2 pools (set_eq_mask(True); keeps the rejected
+                  number reproducible)
+  full step       the deployed make_train_step (grads + 5-group SGD update,
+                  default plain-AD pools)
+  fwd+bwd -tpool  max-pool BACKWARD disabled in the inception trunk only
+                  (stop_gradient around trunk pools; forward identical) —
+                  the timing ceiling of replacing SelectAndScatter there
+  fwd+bwd -pool   max-pool backward disabled everywhere incl. the two stem
+                  pools (112^2 x 64 and 56^2 x 192 at batch 1152 — the
+                  largest scatters in the graph; NOTE this also prunes
+                  conv1's weight-grad path, so it over-counts slightly)
+  fwd+bwd sas     the deployed default AD path: plain max pool everywhere,
+                  whose backward lowers to XLA SelectAndScatter
 
 Max-pool backward on TPU lowers to SelectAndScatter, which XLA cannot fuse
 the way it fuses the conv backward ops. Measured r4 (this probe): the -pool
 arms showed pooling backward at ~83 ms of the 263 ms step (stem pools ~73 ms
-of it), so the eq-mask shift-based custom_vjp (ops/pooling.py) is now the
-default `fwd+bwd` path; the `sas` arm keeps the old path measurable.
+of it) — motivating the eq-mask shift-based custom_vjp (ops/pooling.py).
+Measured r5 (this probe, /tmp/r5_trainprof.log): with the eq-mask VJP opted
+in on the stride-2 pools, fwd+bwd = 321.9 ms vs 262.7 ms on the plain
+SelectAndScatter AD path (pool-free floor 180.0 ms) — the eq-mask backward
+costs ~142 ms where SelectAndScatter costs ~83 ms, so the lever was
+REJECTED and the default path is plain AD. The `fwd+bwd` arm below opts the
+eq-mask lever IN (so the rejected number stays reproducible); the `sas` arm
+is the deployed default.
 
 Usage (real TPU, default env): python scripts/train_profile_probe.py
 """
@@ -109,10 +117,19 @@ def main(argv=None):
     timed("fwd            ", fwd, state.params, state.batch_stats,
           dev_batch, key)
 
-    fb = jax.jit(lambda p, bs, b, r: jax.value_and_grad(loss_fn, has_aux=True)
-                 (p, bs, b, r, True)[1])
-    timed("fwd+bwd        ", fb, state.params, state.batch_stats,
-          dev_batch, key)
+    # eq-mask arm: opt the rejected lever IN so its number stays reproducible
+    # (tracing happens at first call inside timed, so the flag must stay set
+    # through the timed call)
+    from action_detection_tpu.ops import pooling
+
+    prev = pooling.set_eq_mask(True)
+    try:
+        fb = jax.jit(lambda p, bs, b, r: jax.value_and_grad(
+            loss_fn, has_aux=True)(p, bs, b, r, True)[1])
+        timed("fwd+bwd eq-mask", fb, state.params, state.batch_stats,
+              dev_batch, key)
+    finally:
+        pooling.set_eq_mask(prev)
 
     step = make_train_step(model, tx, sampling, spec, donate=False)
     timed("full step      ", lambda b: step(state, b, key)[1]["loss"],
