@@ -240,7 +240,10 @@ def max_pool_2d(x: jnp.ndarray, kernel: int | Tuple[int, int],
     p = (tuple(padding[0]), tuple(padding[1]))
     if not jnp.issubdtype(x.dtype, jnp.floating):
         return _reduce_max(x, k, s, p)       # AD never flows through ints
-    if _POOL_BWD_MODE == "pallas":
+    if _POOL_BWD_MODE == "pallas" and min(s) > 1:
+        # stride-1 pools stay on plain AD: the kernel's working set sits at
+        # full input resolution there and the win is negligible (the 7x7
+        # inception_5b pool is ~0 of the 83 ms SelectAndScatter total)
         return max_pool_pallas(x, k, s, p)
     if _POOL_BWD_MODE == "eq_mask" and min(s) > 1:
         return max_pool(x, k, s, p)          # rejected lever, opt-in only

@@ -80,24 +80,28 @@ def main(argv=None):
         float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
         return (time.time() - t0) / n * 1e3
 
-    # --- 1. correctness gate (small, int-valued, exact) ---
+    # --- 1. correctness gate (small, int-valued, exact; f32 rides the wide
+    # kernel, bf16 the i32-packed one — int values/grads make both paths
+    # bit-exact vs the SelectAndScatter AD dx) ---
     rng = np.random.RandomState(0)
-    for name, (_, H, W, C) in SHAPES:
-        xs = jnp.asarray(rng.randint(0, 64, size=(4, H, W, min(C, 64))
-                                     ).astype(np.float32))
-        y, vjp = sas_vjp(xs, PAD)
-        dy = jnp.asarray(rng.randint(1, 8, size=y.shape).astype(np.float32))
-        dx_ref = vjp(dy)[0]
-        dx_pal = max_pool_bwd_pallas(xs, y, dy, K, S, PAD)
-        ok = bool(jnp.array_equal(dx_pal, dx_ref))
-        print(f"correctness {name}: {'EXACT' if ok else 'MISMATCH'}",
-              flush=True)
-        if not ok:
-            diff = jnp.abs(dx_pal.astype(jnp.float32)
-                           - dx_ref.astype(jnp.float32))
-            print(f"  max|diff|={float(diff.max()):.3g} "
-                  f"n_mismatch={int((diff > 0).sum())}", flush=True)
-            raise SystemExit(f"Pallas pool backward mismatch at {name}")
+    for dt in (jnp.float32, jnp.bfloat16):
+        for name, (_, H, W, C) in SHAPES:
+            xs = jnp.asarray(rng.randint(0, 64, size=(4, H, W, min(C, 64))
+                                         ).astype(np.float32), dt)
+            y, vjp = sas_vjp(xs, PAD)
+            dy = jnp.asarray(rng.randint(1, 8, size=y.shape
+                                         ).astype(np.float32), dt)
+            dx_ref = vjp(dy)[0]
+            dx_pal = max_pool_bwd_pallas(xs, y, dy, K, S, PAD)
+            ok = bool(jnp.array_equal(dx_pal, dx_ref))
+            print(f"correctness {dt.__name__:9} {name}: "
+                  f"{'EXACT' if ok else 'MISMATCH'}", flush=True)
+            if not ok:
+                diff = jnp.abs(dx_pal.astype(jnp.float32)
+                               - dx_ref.astype(jnp.float32))
+                print(f"  max|diff|={float(diff.max()):.3g} "
+                      f"n_mismatch={int((diff > 0).sum())}", flush=True)
+                raise SystemExit(f"Pallas pool backward mismatch at {name}")
 
     # --- 2. isolated backward timings at the recipe batch ---
     for name, shape in SHAPES:
