@@ -65,7 +65,9 @@ Pad2 = Tuple[Tuple[int, int], Tuple[int, int]]
 #:   "sas"     — plain reduce_window AD (XLA SelectAndScatter backward)
 #:   "eq_mask" — the rejected r4 XLA-elementwise lever (kept measurable)
 #:   "pallas"  — the fused Pallas kernel, exact SelectAndScatter semantics
-#:               (ops/pool_bwd_pallas.py)
+#:               (ops/pool_bwd_pallas.py; also tried-and-rejected r5 —
+#:               measured 0.42-0.74x vs SelectAndScatter on-chip, see its
+#:               module docstring for the full verdict)
 _POOL_BWD_MODE = "sas"
 _POOL_BWD_MODES = ("sas", "eq_mask", "pallas")
 
