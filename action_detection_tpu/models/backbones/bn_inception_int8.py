@@ -327,7 +327,13 @@ def _fuse_entry_convs(qe: QuantizedParams, groups) -> Dict[str, dict]:
     already per output channel — so conv+split is bit-identical to the
     separate convs. The runtime face uses these when present
     (``_E2EOps.entry``); split points are recomputed from the per-conv
-    ``wq`` shapes, so the fused tree carries only arrays (device_put-safe)."""
+    ``wq`` shapes, so the fused tree carries only arrays (device_put-safe).
+
+    The per-conv entry tensors deliberately STAY in the tree alongside the
+    fused copies (ADVICE r4): they carry the split shapes, serve the
+    non-fused fallback face, and the duplication is a few MB of 1x1-conv
+    int8 weights — shipped once per process, dwarfed by activations in HBM.
+    Revisit only if device variables ever become a measured cost."""
     return {
         module: {
             "wq": jnp.concatenate([qe[n]["wq"] for n in names], axis=3),
