@@ -1,22 +1,42 @@
 """ctypes bindings to the optional C++ host kernels (native/adt_native.cpp).
 
-Importing this module raises if the shared library hasn't been built
-(``make -C native``); callers catch and fall back to numpy — the same
+On first import this module builds the shared library if it is absent
+(one ``make -C native``, a single-file g++ compile); if the build or load
+fails it raises ``ImportError`` so callers fall back to numpy — the same
 behavior as the reference's optional CUDA NMS hook
-(/root/reference/ops/sequence_funcs.py:6-9).
+(/root/reference/ops/sequence_funcs.py:6-9), minus the silent part: the
+reference requires a manual out-of-tree build, ours self-builds.
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
 
 import numpy as np
 
-_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native", "libadt_native.so")
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libadt_native.so")
 
-_lib = ctypes.CDLL(_LIB_PATH)
+
+def _load() -> ctypes.CDLL:
+    try:
+        return ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        pass
+    try:  # one build attempt; stdout/stderr kept for the failure message
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return ctypes.CDLL(_LIB_PATH)
+    except Exception as e:  # noqa: BLE001 — map every failure to ImportError
+        raise ImportError(
+            f"C++ host kernels unavailable ({e!r}); build manually with "
+            f"`make -C {_NATIVE_DIR}` or use the numpy fallbacks") from e
+
+
+_lib = _load()
 
 _lib.adt_temporal_nms.restype = ctypes.c_int64
 _lib.adt_temporal_nms.argtypes = [
