@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-try:  # optional C++ fast path (built from native/, see native/README.md)
+try:  # optional C++ fast path (auto-built from native/ on first import)
     from action_detection_tpu.utils.native import nms_indices as _native_nms
 except Exception:  # pragma: no cover - absence of the extension is fine
     _native_nms = None
