@@ -62,3 +62,43 @@ def test_native_tag_search_matches_python(monkeypatch):
         for g, w in zip(got, want):
             assert g[0] == w[0] and g[1] == w[1] and g[2] == w[2]
             assert abs(g[3] - w[3]) < 1e-9
+
+
+def test_loader_self_builds_and_maps_failure_to_importerror(tmp_path, monkeypatch):
+    """The loader must (a) build the .so itself when absent and (b) raise
+    ImportError — not OSError — when the build fails, so importorskip and the
+    callers' fallback guards both engage on a machine without a toolchain."""
+    import importlib
+    import subprocess
+
+    mod = importlib.import_module("action_detection_tpu.utils.native")
+
+    # (b) simulate a failed build against a missing library path
+    monkeypatch.setattr(mod, "_LIB_PATH", str(tmp_path / "nothing.so"))
+    monkeypatch.setattr(
+        mod.subprocess, "run",
+        lambda *a, **k: (_ for _ in ()).throw(
+            subprocess.CalledProcessError(1, a[0])))
+    with pytest.raises(ImportError, match="numpy fallbacks"):
+        mod._load()
+
+    # (a) a real rebuild from scratch — in a fresh interpreter, because
+    # dlopen returns this process's cached handle even if the file is gone
+    monkeypatch.undo()
+    import os
+    import sys
+    so = mod._LIB_PATH
+    bak = so + ".bak"
+    os.replace(so, bak)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "from action_detection_tpu.utils import native; "
+             "import numpy as np; "
+             "print(native.nms_indices(np.array([0.0]), np.array([1.0]), "
+             "np.array([0.5]), 0.5))"],
+            capture_output=True, text=True, timeout=180)
+        assert proc.returncode == 0, proc.stderr
+        assert os.path.exists(so)
+    finally:
+        os.replace(bak, so)
