@@ -39,7 +39,8 @@ python ssn_train.py thumos14 Flow -b 16 --lr 0.005 --lr_steps 20 40 --epochs 45 
     --data_root "$FRAME_PATH" \
     --init_weights "${FLOW_INIT:-flow_init.pth}"  # cross-modality init is automatic
 
-# ---- 3. score the test set (10-crop dense scoring; add --int8 for speed) ----
+# ---- 3. score the test set (10-crop dense scoring; int8-e2e + shared-stem
+#         is the default here — pass --no_int8 for bit-faithful bf16) ----
 python ssn_test.py thumos14 RGB ssn_thumos14_BNInception_rgb_checkpoint.msgpack \
     "$WORK/scores_rgb.pkl" --data_root "$FRAME_PATH"
 python ssn_test.py thumos14 Flow ssn_thumos14_BNInception_flow_checkpoint.msgpack \
